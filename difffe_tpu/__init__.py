@@ -1,0 +1,39 @@
+"""difffe_tpu — TPU-native differentiable finite elements.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``danieleschmidt/DiffFE-Physics-Lab`` (reference at /root/reference):
+differentiable FEM solves of −∇·(κ∇u)=f on 1D/2D P1 meshes, adjoint
+gradients through u = K⁻¹F, physics-loss neural training, and κ-recovery
+inverse problems — engineered for batched multi-chip TPU execution
+(pjit/shard_map over device meshes, custom-VJP solvers, matrix-free
+operators, Pallas kernels for the hot paths).
+
+Public API mirrors the reference's four exports
+(/root/reference/diffhe/__init__.py:12) plus the functional core.
+"""
+
+from .mesh import FEMesh, default_dtype
+from .solver import DifferentiableFESolver, solve_poisson, solve_poisson_batched
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FEMesh",
+    "DifferentiableFESolver",
+    "solve_poisson",
+    "solve_poisson_batched",
+    "default_dtype",
+    "PhysicsLoss",
+    "NeuralPDE",
+]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import difffe_tpu` light and avoid import cycles.
+    if name == "PhysicsLoss":
+        from .losses import PhysicsLoss
+        return PhysicsLoss
+    if name == "NeuralPDE":
+        from .models.neural import NeuralPDE
+        return NeuralPDE
+    raise AttributeError(f"module 'difffe_tpu' has no attribute {name!r}")

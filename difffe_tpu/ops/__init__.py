@@ -1,0 +1,44 @@
+"""Compute ops: assembly kernels, differentiable solves, CG, tridiagonal PCR."""
+
+from .assembly import (
+    assemble_load,
+    assemble_lumped_mass,
+    assemble_stiffness_dense,
+    assemble_tridiag_1d,
+    element_apply_2d,
+    kappa_on_elements,
+    local_stiffness_2d,
+    stiffness_apply,
+)
+from .cg import solve_poisson_cg, stiffness_diag
+from .solve import (
+    apply_dirichlet_dense,
+    apply_dirichlet_operator,
+    cholesky_solve,
+    dirichlet_rhs,
+    lu_solve,
+    solve_dense,
+)
+from .tridiag import solve_poisson_tridiag, tridiag_matvec, tridiag_solve
+
+__all__ = [
+    "assemble_load",
+    "assemble_lumped_mass",
+    "assemble_stiffness_dense",
+    "assemble_tridiag_1d",
+    "element_apply_2d",
+    "kappa_on_elements",
+    "local_stiffness_2d",
+    "stiffness_apply",
+    "solve_poisson_cg",
+    "stiffness_diag",
+    "apply_dirichlet_dense",
+    "apply_dirichlet_operator",
+    "cholesky_solve",
+    "dirichlet_rhs",
+    "lu_solve",
+    "solve_dense",
+    "solve_poisson_tridiag",
+    "tridiag_matvec",
+    "tridiag_solve",
+]

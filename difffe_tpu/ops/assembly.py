@@ -1,0 +1,224 @@
+"""Vectorized P1 finite-element assembly (stiffness K, load F, mass M).
+
+Replaces the reference's Python-interpreted element loops
+(/root/reference/diffhe/solver.py:73-147) with pure gather → per-element
+local matrices → scatter-add, so the whole assembly is one fused XLA
+computation that vmaps over scenario batches.
+
+Preserved reference semantics:
+  * 1D local stiffness κ/h·[[1,-1],[-1,1]] (solver.py:86-92) and
+    trapezoidal/lumped nodal load F_i += h/2·f_i (solver.py:94-96).
+  * 2D P1 triangle stiffness κ(b_p b_q + c_p c_q)/(4A) (solver.py:123-140)
+    and centroid load F_p += A/3·mean(f_i,f_j,f_k) (solver.py:142-145).
+  * Degenerate triangles (area < 1e-15) contribute nothing
+    (solver.py:120-121) — here a data-independent ``where`` mask instead of
+    a Python ``continue`` so control flow stays trace-compatible.
+
+Fixed reference bug: per-element κ raises RuntimeError in the reference
+(solver.py:89, documented-but-broken per SURVEY.md §2a); here κ may be a
+scalar, per-element ``(n_elements,)``, per-node ``(n_nodes,)`` (averaged
+onto elements), or any of those with leading batch axes via ``jax.vmap``.
+
+Improvement over reference: 2D node coordinates are NOT detached
+(reference solver.py:125-134 `.detach()` blocks shape derivatives), so
+∂/∂(node positions) flows here — useful for shape optimization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import FEMesh
+
+DEGENERATE_AREA_TOL = 1e-15  # matches reference solver.py:120
+
+
+# --------------------------------------------------------------------------
+# κ normalization
+# --------------------------------------------------------------------------
+
+def kappa_on_elements(mesh: FEMesh, kappa) -> jax.Array:
+    """Normalize κ to a per-element array ``(n_elements,)``.
+
+    Accepts scalar, per-element ``(n_elements,)``, or per-node ``(n_nodes,)``
+    (averaged over each element's nodes — P1 midpoint value).
+    """
+    kappa = jnp.asarray(kappa, dtype=mesh.dtype)
+    ne, nn = mesh.n_elements, mesh.n_nodes
+    if kappa.ndim == 0:
+        return jnp.broadcast_to(kappa, (ne,))
+    if kappa.shape[-1] == ne:
+        return kappa
+    if kappa.shape[-1] == nn:
+        return jnp.mean(kappa[..., mesh.elements], axis=-1)
+    raise ValueError(
+        f"kappa shape {kappa.shape} matches neither n_elements={ne} "
+        f"nor n_nodes={nn}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-element geometry + local matrices
+# --------------------------------------------------------------------------
+
+def element_geometry_1d(mesh: FEMesh):
+    """Element lengths h_e (signed as in reference: x_j - x_i, solver.py:77)."""
+    x = mesh.nodes[:, 0]
+    i, j = mesh.elements[:, 0], mesh.elements[:, 1]
+    return x[j] - x[i]
+
+
+def element_geometry_2d(mesh: FEMesh):
+    """P1 triangle geometry: (b, c, area).
+
+    b, c: (n_elements, 3) basis-gradient coefficients
+    φ_p = (a_p + b_p x + c_p y)/(2A); area: (n_elements,) unsigned.
+    Matches reference solver.py:119-134 but without detaching coordinates.
+    """
+    p = mesh.nodes[mesh.elements]  # (ne, 3, 2)
+    x, y = p[..., 0], p[..., 1]
+    xi, xj, xk = x[:, 0], x[:, 1], x[:, 2]
+    yi, yj, yk = y[:, 0], y[:, 1], y[:, 2]
+    area = 0.5 * jnp.abs((xj - xi) * (yk - yi) - (xk - xi) * (yj - yi))
+    b = jnp.stack([yj - yk, yk - yi, yi - yj], axis=1)  # (ne, 3)
+    c = jnp.stack([xk - xj, xi - xk, xj - xi], axis=1)  # (ne, 3)
+    return b, c, area
+
+
+def local_stiffness_2d(mesh: FEMesh, kappa) -> jax.Array:
+    """Per-element 3×3 stiffness blocks ``(n_elements, 3, 3)``.
+
+    K_e[p,q] = κ_e (b_p b_q + c_p c_q)/(4A_e), zeroed for degenerate
+    triangles (reference solver.py:120-121,137-140).
+    """
+    b, c, area = element_geometry_2d(mesh)
+    ke = kappa_on_elements(mesh, kappa)
+    gram = b[:, :, None] * b[:, None, :] + c[:, :, None] * c[:, None, :]
+    safe_area = jnp.where(area < DEGENERATE_AREA_TOL, 1.0, area)
+    scale = jnp.where(area < DEGENERATE_AREA_TOL, 0.0,
+                      ke / (4.0 * safe_area))
+    return scale[:, None, None] * gram
+
+
+# --------------------------------------------------------------------------
+# Dense assembly (small meshes / golden path)
+# --------------------------------------------------------------------------
+
+def assemble_stiffness_dense(mesh: FEMesh, kappa) -> jax.Array:
+    """Dense stiffness matrix K ∈ (n_nodes, n_nodes), no BCs applied."""
+    n = mesh.n_nodes
+    if mesh.dim == 1:
+        h = element_geometry_1d(mesh)
+        ke = kappa_on_elements(mesh, kappa) / h  # κ/h_e, solver.py:88
+        i, j = mesh.elements[:, 0], mesh.elements[:, 1]
+        K = jnp.zeros((n, n), dtype=mesh.dtype)
+        K = K.at[i, i].add(ke).at[j, j].add(ke)
+        K = K.at[i, j].add(-ke).at[j, i].add(-ke)
+        return K
+    if mesh.dim == 2:
+        Ke = local_stiffness_2d(mesh, kappa)  # (ne, 3, 3)
+        elems = mesh.elements
+        rows = jnp.repeat(elems, 3, axis=1).reshape(-1)          # p index
+        cols = jnp.tile(elems, (1, 3)).reshape(-1)               # q index
+        K = jnp.zeros((n, n), dtype=mesh.dtype)
+        return K.at[rows, cols].add(Ke.reshape(-1))
+    raise NotImplementedError("Only 1D and 2D supported")  # solver.py:67
+
+
+def assemble_load(mesh: FEMesh, f: jax.Array) -> jax.Array:
+    """Load vector F from nodal forcing values ``f`` (…, n_nodes).
+
+    1D: trapezoidal nodal rule F_i += h_e/2·f_i (solver.py:94-96).
+    2D: centroid rule F_p += A_e/3·mean(f over element) (solver.py:142-145).
+    Supports leading batch axes on ``f``.
+    """
+    f = jnp.asarray(f, dtype=mesh.dtype)
+    n = mesh.n_nodes
+    if mesh.dim == 1:
+        h = element_geometry_1d(mesh)
+        i, j = mesh.elements[:, 0], mesh.elements[:, 1]
+        F = jnp.zeros(f.shape[:-1] + (n,), dtype=mesh.dtype)
+        F = F.at[..., i].add(h / 2.0 * f[..., i])
+        F = F.at[..., j].add(h / 2.0 * f[..., j])
+        return F
+    if mesh.dim == 2:
+        _, _, area = element_geometry_2d(mesh)
+        area = jnp.where(area < DEGENERATE_AREA_TOL, 0.0, area)
+        fe = f[..., mesh.elements]                    # (..., ne, 3)
+        f_centroid = jnp.mean(fe, axis=-1)            # (..., ne)
+        contrib = (area / 3.0) * f_centroid           # (..., ne)
+        F = jnp.zeros(f.shape[:-1] + (n,), dtype=mesh.dtype)
+        for p in range(3):
+            F = F.at[..., mesh.elements[:, p]].add(contrib)
+        return F
+    raise NotImplementedError("Only 1D and 2D supported")
+
+
+def assemble_lumped_mass(mesh: FEMesh) -> jax.Array:
+    """Diagonal (lumped) mass matrix entries ``(n_nodes,)``.
+
+    Consistent with the load quadrature above: M = assemble_load(mesh, 1).
+    Used by the time-dependent heat-equation rollouts (control/heat.py).
+    """
+    ones = jnp.ones(mesh.n_nodes, dtype=mesh.dtype)
+    return assemble_load(mesh, ones)
+
+
+# --------------------------------------------------------------------------
+# Matrix-free operator (never materializes K — the 2D/TPU production path)
+# --------------------------------------------------------------------------
+
+def element_apply_2d(mesh: FEMesh, Ke: jax.Array, u: jax.Array) -> jax.Array:
+    """Matrix-free K·u using per-element blocks ``Ke`` (ne,3,3).
+
+    u: (..., n_nodes) → returns (..., n_nodes).  Gather element DOFs,
+    apply local 3×3 blocks, scatter-add — the TPU-friendly alternative to
+    materializing the O(n²) dense K of the reference.
+    """
+    elems = mesh.elements                      # (ne, 3)
+    ue = u[..., elems]                         # (..., ne, 3)
+    kue = jnp.einsum("epq,...eq->...ep", Ke, ue)
+    out = jnp.zeros_like(u)
+    for p in range(3):
+        out = out.at[..., elems[:, p]].add(kue[..., p])
+    return out
+
+
+def stiffness_apply(mesh: FEMesh, kappa, u: jax.Array) -> jax.Array:
+    """Matrix-free K(κ)·u for 1D or 2D meshes, batched over leading axes."""
+    if mesh.dim == 1:
+        h = element_geometry_1d(mesh)
+        ke = kappa_on_elements(mesh, kappa) / h
+        i, j = mesh.elements[:, 0], mesh.elements[:, 1]
+        du = u[..., i] - u[..., j]
+        out = jnp.zeros_like(u)
+        out = out.at[..., i].add(ke * du)
+        out = out.at[..., j].add(-ke * du)
+        return out
+    if mesh.dim == 2:
+        Ke = local_stiffness_2d(mesh, kappa)
+        return element_apply_2d(mesh, Ke, u)
+    raise NotImplementedError("Only 1D and 2D supported")
+
+
+# --------------------------------------------------------------------------
+# Tridiagonal (1D) assembly — the fast path for interval meshes
+# --------------------------------------------------------------------------
+
+def assemble_tridiag_1d(mesh: FEMesh, kappa):
+    """Stiffness of a 1D chain mesh as (diag, lower/upper) bands.
+
+    Valid for meshes whose elements are (i, i+1) for i = 0..n-2 (all meshes
+    from ``FEMesh.line``).  Returns ``(d, e)`` with d: (n,), e: (n-1,) — K is
+    symmetric tridiagonal: K[i,i]=d[i], K[i,i+1]=K[i+1,i]=e[i].
+    """
+    h = element_geometry_1d(mesh)
+    ke = kappa_on_elements(mesh, kappa) / h        # (n-1,)
+    n = mesh.n_nodes
+    d = jnp.zeros(ke.shape[:-1] + (n,), dtype=mesh.dtype)
+    d = d.at[..., :-1].add(ke).at[..., 1:].add(ke)
+    e = -ke
+    return d, e

@@ -1,0 +1,136 @@
+"""Matrix-free preconditioned conjugate gradients with a custom adjoint.
+
+Production 2D path: never materializes K (the reference builds a dense O(n²)
+matrix, /root/reference/diffhe/solver.py:104-147).  The operator is the
+mask-eliminated K̃v = m⊙v + P·K(P·v) applied element-wise
+(ops/assembly.py:stiffness_apply), preconditioned with Jacobi.
+
+Differentiation uses the implicit function theorem rather than unrolling the
+iteration: for u solving A(θ)u = b(θ),
+
+    dL/dθ = λᵀ(∂b/∂θ − (∂A/∂θ)u),   A λ = ḡ  (A symmetric ⇒ same solve)
+
+implemented as one adjoint CG solve plus a ``jax.vjp`` of the *residual map*
+θ ↦ b(θ) − A(θ)u at fixed u — so gradients flow to κ, f, node coordinates,
+and BC values with no tape through the solver loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import FEMesh
+from .assembly import (
+    assemble_tridiag_1d,
+    kappa_on_elements,
+    local_stiffness_2d,
+    stiffness_apply,
+)
+from .solve import apply_dirichlet_operator, dirichlet_rhs
+
+
+def stiffness_diag(mesh: FEMesh, kappa) -> jax.Array:
+    """diag(K) — Jacobi preconditioner source."""
+    if mesh.dim == 1:
+        d, _ = assemble_tridiag_1d(mesh, kappa)
+        return d
+    Ke = local_stiffness_2d(mesh, kappa)          # (ne, 3, 3)
+    diag_e = jnp.diagonal(Ke, axis1=-2, axis2=-1)  # (ne, 3)
+    out = jnp.zeros(mesh.n_nodes, dtype=mesh.dtype)
+    for p in range(3):
+        out = out.at[mesh.elements[:, p]].add(diag_e[:, p])
+    return out
+
+
+def _pcg(A, b, Minv, x0, tol: float, maxiter: int):
+    """Jacobi-preconditioned CG; tol=0 → fixed ``maxiter`` sweeps."""
+    r = b - A(x0)
+    z = Minv * r
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm2 = jnp.vdot(b, b)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(bnorm2, 1e-30)
+
+    def cond(state):
+        _, r, _, rz, k = state
+        return (k < maxiter) & (jnp.vdot(r, r) > tol2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = A(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv * r
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    return x
+
+
+def _operator(mesh: FEMesh, kappa, v: jax.Array) -> jax.Array:
+    return apply_dirichlet_operator(
+        mesh, lambda w: stiffness_apply(mesh, kappa, w), v)
+
+
+def _rhs(mesh: FEMesh, kappa, F: jax.Array) -> jax.Array:
+    return dirichlet_rhs(mesh, lambda w: stiffness_apply(mesh, kappa, w), F)
+
+
+def _jacobi(mesh: FEMesh, kappa) -> jax.Array:
+    m = mesh.bc_mask
+    diagA = m + (1.0 - m) * stiffness_diag(mesh, kappa)
+    return 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def solve_poisson_cg(mesh: FEMesh, kappa, F: jax.Array,
+                     tol: float = 0.0,
+                     maxiter: Optional[int] = None) -> jax.Array:
+    """Solve the BC-eliminated system K̃u = F̃ by matrix-free PCG.
+
+    ``F`` is the assembled load (ops/assembly.py:assemble_load).  With
+    ``tol=0`` runs exactly ``maxiter`` iterations (default: n_nodes) — the
+    TPU-friendly fixed-trip-count mode for batched solves.
+    """
+    return _cg_impl(mesh, kappa, F, tol, maxiter)
+
+
+def _cg_impl(mesh, kappa, F, tol, maxiter):
+    maxiter = maxiter if maxiter is not None else mesh.n_nodes
+    b = _rhs(mesh, kappa, F)
+    Minv = _jacobi(mesh, kappa)
+    x0 = mesh.bc_mask * mesh.bc_values
+    return _pcg(lambda v: _operator(mesh, kappa, v), b, Minv,
+                jnp.broadcast_to(x0, b.shape), tol, maxiter)
+
+
+def _cg_fwd(mesh, kappa, F, tol, maxiter):
+    u = _cg_impl(mesh, kappa, F, tol, maxiter)
+    return u, (mesh, kappa, F, u)
+
+
+def _cg_bwd(tol, maxiter, res, g):
+    mesh, kappa, F, u = res
+    maxit = maxiter if maxiter is not None else mesh.n_nodes
+    Minv = _jacobi(mesh, kappa)
+    lam = _pcg(lambda v: _operator(mesh, kappa, v), g, Minv,
+               jnp.zeros_like(g), tol, maxit)
+
+    # Residual map at fixed u: R(mesh, κ, F) = b(mesh, κ, F) − A(mesh, κ)u.
+    def residual(mesh_, kappa_, F_):
+        return _rhs(mesh_, kappa_, F_) - _operator(mesh_, kappa_,
+                                                   jax.lax.stop_gradient(u))
+
+    _, vjp = jax.vjp(residual, mesh, kappa, F)
+    return vjp(lam)
+
+
+solve_poisson_cg.defvjp(_cg_fwd, _cg_bwd)

@@ -1,0 +1,142 @@
+"""Dirichlet BC application + differentiable dense linear solve.
+
+Replaces the reference's O(n_free·n_bc) Python BC-elimination double loop and
+fancy-indexed submatrix extraction (/root/reference/diffhe/solver.py:153-183)
+with a **mask-based elimination on the full vector** — shapes stay static so
+everything jits and vmaps:
+
+    K̃ = P K P + diag(m),   F̃ = m⊙g + P(F − K(m⊙g)),   P = diag(1−m)
+
+Solving K̃u = F̃ yields exactly the reference's eliminated system on free
+nodes and u = g on Dirichlet nodes (u is the same vector the reference
+scatter-builds at solver.py:177-181).
+
+The solve itself is a Cholesky factorization (K̃ is SPD — better than the
+reference's LU via ``torch.linalg.solve``, solver.py:174) wrapped in
+``jax.custom_vjp`` so the adjoint **reuses the factorization**: the backward
+pass is one triangular-solve pair λ = K̃⁻¹ḡ plus the rank-1 contraction
+∂K̃ = −λuᵀ — replacing the reference's thousands-entry autograd tape through
+scatter-adds (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..mesh import FEMesh
+
+
+# --------------------------------------------------------------------------
+# Mask-based Dirichlet elimination (static shapes)
+# --------------------------------------------------------------------------
+
+def apply_dirichlet_dense(mesh: FEMesh, K: jax.Array, F: jax.Array):
+    """Eliminate Dirichlet BCs from dense (K, F) without changing shapes.
+
+    Equivalent to reference solver.py:153-183 (row/col elimination + identity
+    rows for constrained nodes) but fully vectorized.
+    """
+    m = mesh.bc_mask
+    g = mesh.bc_values
+    p = 1.0 - m
+    Kg = K @ (m * g)
+    F_mod = m * g + p * (F - Kg)
+    K_mod = p[:, None] * K * p[None, :] + jnp.diag(m)
+    return K_mod, F_mod
+
+
+def apply_dirichlet_operator(mesh: FEMesh, apply_K, v: jax.Array) -> jax.Array:
+    """Matrix-free version of the eliminated operator: K̃v = m⊙v + P·K(P·v).
+
+    ``apply_K`` is a function u ↦ K·u (no BCs).  Symmetric positive definite
+    whenever K restricted to free nodes is — suitable for CG (ops/cg.py).
+    """
+    m = mesh.bc_mask
+    p = 1.0 - m
+    return m * v + p * apply_K(p * v)
+
+
+def dirichlet_rhs(mesh: FEMesh, apply_K, F: jax.Array) -> jax.Array:
+    """Matrix-free eliminated RHS: F̃ = m⊙g + P(F − K(m⊙g))."""
+    m = mesh.bc_mask
+    g = mesh.bc_values
+    p = 1.0 - m
+    return m * g + p * (F - apply_K(m * g))
+
+
+# --------------------------------------------------------------------------
+# Differentiable dense solves (custom VJP, factorization reuse)
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def cholesky_solve(K: jax.Array, F: jax.Array) -> jax.Array:
+    """u = K⁻¹F for SPD K via Cholesky; adjoint reuses the factor."""
+    L = jnp.linalg.cholesky(K)
+    return _cho_solve(L, F)
+
+
+def _cho_solve(L: jax.Array, b: jax.Array) -> jax.Array:
+    y = solve_triangular(L, b, lower=True)
+    return solve_triangular(L, y, lower=True, trans=1)
+
+
+def _cholesky_solve_fwd(K, F):
+    L = jnp.linalg.cholesky(K)
+    u = _cho_solve(L, F)
+    return u, (L, u)
+
+
+def _cholesky_solve_bwd(res, g):
+    L, u = res
+    # K symmetric ⇒ adjoint solve uses the same factor: λ = K⁻¹ḡ
+    lam = _cho_solve(L, g)
+    grad_F = lam
+    grad_K = -jnp.outer(lam, u)
+    return grad_K, grad_F
+
+
+cholesky_solve.defvjp(_cholesky_solve_fwd, _cholesky_solve_bwd)
+
+
+@jax.custom_vjp
+def lu_solve(K: jax.Array, F: jax.Array) -> jax.Array:
+    """u = K⁻¹F via LU (general K — reference-parity path, solver.py:174)."""
+    return jnp.linalg.solve(K, F)
+
+
+def _lu_solve_fwd(K, F):
+    lu, piv = jax.scipy.linalg.lu_factor(K)
+    u = jax.scipy.linalg.lu_solve((lu, piv), F)
+    return u, (lu, piv, u)
+
+
+def _lu_solve_bwd(res, g):
+    lu, piv, u = res
+    lam = jax.scipy.linalg.lu_solve((lu, piv), g, trans=1)  # Kᵀλ = ḡ
+    return -jnp.outer(lam, u), lam
+
+
+lu_solve.defvjp(_lu_solve_fwd, _lu_solve_bwd)
+
+
+# --------------------------------------------------------------------------
+# End-to-end dense Poisson solve
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("factor",))
+def solve_dense(mesh: FEMesh, K: jax.Array, F: jax.Array,
+                factor: str = "cholesky") -> jax.Array:
+    """Apply Dirichlet BCs to assembled (K, F) and solve.
+
+    factor: 'cholesky' (SPD fast path) or 'lu' (reference parity).
+    """
+    K_mod, F_mod = apply_dirichlet_dense(mesh, K, F)
+    if factor == "cholesky":
+        return cholesky_solve(K_mod, F_mod)
+    if factor == "lu":
+        return lu_solve(K_mod, F_mod)
+    raise ValueError(f"Unknown factor {factor!r}")

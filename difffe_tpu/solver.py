@@ -1,0 +1,146 @@
+"""Differentiable FEM solver — functional core + ergonomic facade.
+
+Capability parity with reference ``DifferentiableFESolver``
+(/root/reference/diffhe/solver.py:22-183): solves −∇·(κ∇u) = f with
+Dirichlet BCs on 1D interval / 2D triangle P1 meshes, with gradients flowing
+to κ (and here also to f, node coordinates, and BC values).
+
+TPU-native differences:
+  * pure function ``solve_poisson(mesh, kappa, f)`` — jit/vmap/grad
+    composable; the ``DifferentiableFESolver`` class is a thin wrapper kept
+    for the reference's ergonomics (``solver(f)``).
+  * batched scenarios are first-class: ``solve_poisson_batched`` vmaps over
+    leading axes of κ and/or f (the reference solves one unbatched scenario
+    per call, solver.py:49-67).
+  * method='tridiag' uses the O(n)/O(log n) cyclic-reduction band solver for
+    1D chain meshes; method='cg' uses matrix-free preconditioned CG (never
+    materializes K); method='dense' assembles K and Cholesky-factorizes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .mesh import FEMesh
+from .ops.assembly import (
+    assemble_load,
+    assemble_stiffness_dense,
+    assemble_tridiag_1d,
+    stiffness_apply,
+)
+from .ops.solve import solve_dense
+from .ops import tridiag as _tridiag
+from .ops import cg as _cg
+
+
+def _resolve_method(mesh: FEMesh, method: str) -> str:
+    if method != "auto":
+        return method
+    if mesh.dim == 1:
+        return "tridiag"
+    # 2D: dense Cholesky up to moderate size, matrix-free CG beyond
+    return "dense" if mesh.n_nodes <= 4096 else "cg"
+
+
+def solve_poisson(
+    mesh: FEMesh,
+    kappa,
+    f: jax.Array,
+    method: str = "auto",
+    cg_tol: float = 0.0,
+    cg_maxiter: Optional[int] = None,
+) -> jax.Array:
+    """Solve −∇·(κ∇u) = f on ``mesh`` with its Dirichlet BCs.
+
+    Parameters
+    ----------
+    kappa : scalar, (n_elements,), or (n_nodes,) diffusion coefficient.
+    f : (n_nodes,) nodal forcing values.
+    method : 'auto' | 'dense' | 'lu' | 'tridiag' | 'cg'.
+
+    Returns ``u`` of shape (n_nodes,).  Differentiable wrt kappa, f, mesh
+    coordinates, and BC values.
+    """
+    f = jnp.asarray(f, dtype=mesh.dtype)
+    method = _resolve_method(mesh, method)
+
+    if method == "tridiag":
+        if mesh.dim != 1:
+            raise ValueError("method='tridiag' requires a 1D mesh")
+        d, e = assemble_tridiag_1d(mesh, kappa)
+        F = assemble_load(mesh, f)
+        return _tridiag.solve_poisson_tridiag(mesh, d, e, F)
+
+    if method == "cg":
+        F = assemble_load(mesh, f)
+        # custom_vjp functions take positional args only
+        return _cg.solve_poisson_cg(mesh, kappa, F, cg_tol, cg_maxiter)
+
+    if method in ("dense", "lu"):
+        K = assemble_stiffness_dense(mesh, kappa)
+        F = assemble_load(mesh, f)
+        return solve_dense(mesh, K, F,
+                           factor="cholesky" if method == "dense" else "lu")
+
+    raise ValueError(f"Unknown method {method!r}")
+
+
+def solve_poisson_batched(
+    mesh: FEMesh,
+    kappa,
+    f: jax.Array,
+    method: str = "auto",
+    **kw,
+) -> jax.Array:
+    """Batched scenarios: κ (B, …) and/or f (B, n_nodes) → u (B, n_nodes).
+
+    Either argument may be unbatched (broadcast across the batch).  This is
+    the workhorse of the north-star configs (SURVEY.md §2b 'scenario-batch
+    parallelism').
+    """
+    kappa = jnp.asarray(kappa, dtype=mesh.dtype)
+    f = jnp.asarray(f, dtype=mesh.dtype)
+    # κ counts as batched when it has a leading scenario axis: (B,) of
+    # per-scenario scalars (B ≠ n_elements/n_nodes to disambiguate), or
+    # (B, n_elements) / (B, n_nodes) fields.
+    k_batched = kappa.ndim == 2 or (
+        kappa.ndim == 1
+        and kappa.shape[0] not in (mesh.n_elements, mesh.n_nodes)
+    )
+    f_batched = f.ndim >= 2
+    if not (k_batched or f_batched):
+        return solve_poisson(mesh, kappa, f, method=method, **kw)
+    fn = lambda k, ff: solve_poisson(mesh, k, ff, method=method, **kw)
+    return jax.vmap(fn, in_axes=(0 if k_batched else None,
+                                 0 if f_batched else None))(kappa, f)
+
+
+class DifferentiableFESolver:
+    """Ergonomic wrapper matching the reference's ``solver(f)`` call shape.
+
+    Unlike the reference nn.Module (solver.py:22-46) this holds no trainable
+    state — κ is stored as a plain array and gradients are taken through the
+    functional API (``jax.grad`` over ``solve_poisson``).
+    """
+
+    def __init__(self, mesh: FEMesh, kappa=1.0, method: str = "auto"):
+        self.mesh = mesh
+        self._kappa = jnp.asarray(kappa, dtype=mesh.dtype)
+        self.method = method
+
+    @property
+    def kappa(self) -> jax.Array:
+        return self._kappa
+
+    def __call__(self, f: jax.Array) -> jax.Array:
+        f = jnp.asarray(f, dtype=self.mesh.dtype)
+        if f.ndim >= 2:
+            return solve_poisson_batched(self.mesh, self._kappa, f,
+                                         method=self.method)
+        return solve_poisson(self.mesh, self._kappa, f, method=self.method)
+
+    # torch-style alias used by reference call sites (solver.py:49)
+    forward = __call__

@@ -1,0 +1,42 @@
+"""Test configuration: 8 fake CPU devices + float64 golden path.
+
+Tests run on a virtual 8-device CPU mesh (SURVEY.md §4 'multi-node testing')
+so sharding/collective logic is exercised without TPU hardware, and with x64
+enabled so accuracy tests can assert the reference's float64 tolerances
+(reference tests /root/reference/tests/test_fem.py use atol 1e-9..1e-12).
+"""
+
+import os
+
+# Force the CPU platform even though the environment's sitecustomize has
+# already imported jax with JAX_PLATFORMS pointing at the TPU plugin — tests
+# must run on the virtual 8-device CPU mesh, never the (slow, single-chip)
+# remote TPU tunnel.  XLA_FLAGS is read lazily at CPU-backend init, so
+# setting it here (before the first jax op) still takes effect.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+from difffe_tpu.mesh import FEMesh  # noqa: E402
+
+
+@pytest.fixture
+def line_mesh_10():
+    # mirrors reference fixture test_fem.py:30-32
+    return FEMesh.line(n_elements=10)
+
+
+@pytest.fixture
+def line_mesh_100():
+    # mirrors reference fixture test_fem.py:34-36
+    return FEMesh.line(n_elements=100)

@@ -1,0 +1,89 @@
+"""Mesh invariants — mirrors reference TestFEMesh (test_fem.py:44-72)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from difffe_tpu.mesh import FEMesh
+
+
+class TestFEMesh1D:
+    def test_1d_shape(self, line_mesh_10):
+        m = line_mesh_10
+        assert m.n_nodes == 11
+        assert m.n_elements == 10
+        assert m.dim == 1
+
+    def test_1d_bc(self, line_mesh_10):
+        m = line_mesh_10
+        bc = dict(m.dirichlet_items())
+        assert bc == {0: 0.0, 10: 0.0}
+
+    def test_free_nodes(self, line_mesh_10):
+        free = line_mesh_10.free_nodes()
+        assert len(free) == 9
+        assert 0 not in free
+        assert 10 not in free
+
+    def test_bc_none_omits(self):
+        m = FEMesh.line(n_elements=4, bc_right=None)
+        assert dict(m.dirichlet_items()) == {0: 0.0}
+
+    def test_nonzero_bc_values(self):
+        m = FEMesh.line(n_elements=4, bc_left=1.0, bc_right=2.0)
+        assert dict(m.dirichlet_items()) == {0: 1.0, 4: 2.0}
+
+    def test_h(self, line_mesh_10):
+        assert abs(line_mesh_10.h() - 0.1) < 1e-12
+
+    def test_nodes_uniform(self, line_mesh_10):
+        x = np.asarray(line_mesh_10.nodes[:, 0])
+        np.testing.assert_allclose(x, np.linspace(0, 1, 11), atol=1e-15)
+
+
+class TestFEMesh2D:
+    def test_2d_shape(self):
+        m = FEMesh.rectangle(nx=4, ny=4)
+        assert m.n_nodes == 25
+        assert m.n_elements == 32
+        assert m.dim == 2
+
+    def test_2d_boundary_nodes(self):
+        # 4*(4+1) - 4 = 16 boundary nodes (reference test_fem.py:69-72)
+        m = FEMesh.rectangle(nx=4, ny=4)
+        assert m.n_dirichlet == 16
+
+    def test_2d_connectivity_matches_reference_split(self):
+        # quad (a,b,c,d) → (a,b,d), (b,c,d); node id = row*(nx+1)+col
+        m = FEMesh.rectangle(nx=2, ny=1)
+        elems = np.asarray(m.elements)
+        expected = np.array([
+            [0, 1, 3], [1, 4, 3],   # quad 0
+            [1, 2, 4], [2, 5, 4],   # quad 1
+        ])
+        np.testing.assert_array_equal(elems, expected)
+
+    def test_2d_areas_positive(self):
+        from difffe_tpu.ops.assembly import element_geometry_2d
+        m = FEMesh.rectangle(nx=3, ny=5)
+        _, _, area = element_geometry_2d(m)
+        total = float(jnp.sum(area))
+        assert abs(total - 1.0) < 1e-12  # unit square fully covered
+        assert float(jnp.min(area)) > 0
+
+    def test_2d_h(self):
+        m = FEMesh.rectangle(nx=4, ny=4)
+        assert abs(m.h() - 0.25) < 1e-12
+
+    def test_with_dirichlet(self):
+        m = FEMesh.line(n_elements=4, bc_left=None, bc_right=None)
+        m2 = m.with_dirichlet([0, 4], [3.0, 7.0])
+        assert dict(m2.dirichlet_items()) == {0: 3.0, 4: 7.0}
+
+    def test_pytree_roundtrip(self):
+        import jax
+        m = FEMesh.rectangle(nx=2, ny=2)
+        leaves, treedef = jax.tree.flatten(m)
+        m2 = jax.tree.unflatten(treedef, leaves)
+        assert m2.n_nodes == m.n_nodes
+        np.testing.assert_array_equal(np.asarray(m2.elements),
+                                      np.asarray(m.elements))

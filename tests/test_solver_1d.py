@@ -1,0 +1,119 @@
+"""1D solver exactness + convergence — mirrors reference
+TestDifferentiableFESolver1D (/root/reference/tests/test_fem.py:78-155),
+run across every solve method (dense Cholesky, LU, tridiagonal PCR, CG)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.solver import DifferentiableFESolver, solve_poisson
+
+METHODS = ["dense", "lu", "tridiag", "cg"]
+
+
+def exact_poisson1(x):
+    # −u″=1, u(0)=u(1)=0 → u = x(1−x)/2
+    return x * (1.0 - x) / 2.0
+
+
+@pytest.mark.parametrize("method", METHODS)
+class TestExactness:
+    def test_coarse_exact(self, line_mesh_10, method):
+        mesh = line_mesh_10
+        x = mesh.nodes[:, 0]
+        u = solve_poisson(mesh, 1.0, jnp.ones_like(x), method=method)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(exact_poisson1(x)),
+                                   atol=1e-10)
+
+    def test_fine_exact(self, line_mesh_100, method):
+        mesh = line_mesh_100
+        x = mesh.nodes[:, 0]
+        u = solve_poisson(mesh, 1.0, jnp.ones_like(x), method=method)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(exact_poisson1(x)),
+                                   atol=1e-9)
+
+    def test_bc_satisfied(self, line_mesh_10, method):
+        mesh = line_mesh_10
+        u = solve_poisson(mesh, 1.0, jnp.ones(mesh.n_nodes), method=method)
+        assert abs(float(u[0])) < 1e-12
+        assert abs(float(u[-1])) < 1e-12
+
+    def test_nonzero_dirichlet_bc(self, method):
+        # u″=0, u(0)=1, u(1)=2 → u = 1+x  (reference test_fem.py:134-142)
+        mesh = FEMesh.line(n_elements=10, bc_left=1.0, bc_right=2.0)
+        x = mesh.nodes[:, 0]
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), method=method)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(1.0 + x),
+                                   atol=1e-10)
+
+    def test_kappa_scales_solution(self, line_mesh_10, method):
+        # −(κu′)′ = f with constant κ → u = u₁/κ
+        mesh = line_mesh_10
+        f = jnp.ones(mesh.n_nodes)
+        u1 = solve_poisson(mesh, 1.0, f, method=method)
+        u2 = solve_poisson(mesh, 2.0, f, method=method)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1) / 2.0,
+                                   atol=1e-12)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_sinusoidal_convergence(method):
+    """−u″=π²sin(πx) → u=sin(πx); error drops ~4× per mesh doubling
+    (reference test_fem.py:114-132)."""
+    errors = []
+    for n in [10, 20, 40, 80]:
+        mesh = FEMesh.line(n_elements=n)
+        x = mesh.nodes[:, 0]
+        f = (math.pi ** 2) * jnp.sin(math.pi * x)
+        u = solve_poisson(mesh, 1.0, f, method=method)
+        err = float(jnp.max(jnp.abs(u - jnp.sin(math.pi * x))))
+        errors.append(err)
+    for i in range(1, len(errors)):
+        ratio = errors[i - 1] / (errors[i] + 1e-15)
+        assert ratio > 3.0, f"expected ~4x reduction, got {ratio:.2f}"
+
+
+class TestSolverFacade:
+    def test_callable_matches_reference_shape(self, line_mesh_10):
+        solver = DifferentiableFESolver(line_mesh_10)
+        u = solver(jnp.ones(line_mesh_10.n_nodes))
+        assert u.shape == (11,)
+
+    def test_per_element_kappa(self, line_mesh_10):
+        """Per-element κ — documented-but-broken in the reference
+        (solver.py:29 vs RuntimeError, SURVEY.md §2a); a real feature here."""
+        mesh = line_mesh_10
+        ke = jnp.full(mesh.n_elements, 2.0)
+        u = solve_poisson(mesh, ke, jnp.ones(mesh.n_nodes))
+        u_scalar = solve_poisson(mesh, 2.0, jnp.ones(mesh.n_nodes))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_scalar),
+                                   atol=1e-12)
+
+    def test_per_node_kappa(self, line_mesh_10):
+        mesh = line_mesh_10
+        kn = jnp.full(mesh.n_nodes, 3.0)
+        u = solve_poisson(mesh, kn, jnp.ones(mesh.n_nodes))
+        u_scalar = solve_poisson(mesh, 3.0, jnp.ones(mesh.n_nodes))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_scalar),
+                                   atol=1e-12)
+
+    def test_methods_agree_variable_kappa(self, line_mesh_100):
+        mesh = line_mesh_100
+        key = jax.random.PRNGKey(0)
+        ke = 1.0 + jax.random.uniform(key, (mesh.n_elements,),
+                                      dtype=mesh.dtype)
+        f = jnp.sin(3.0 * mesh.nodes[:, 0])
+        sols = [np.asarray(solve_poisson(mesh, ke, f, method=m))
+                for m in METHODS]
+        for s in sols[1:]:
+            np.testing.assert_allclose(s, sols[0], atol=1e-9)
+
+    def test_jit_compiles(self, line_mesh_10):
+        mesh = line_mesh_10
+        fn = jax.jit(lambda k, f: solve_poisson(mesh, k, f, method="tridiag"))
+        u = fn(1.0, jnp.ones(mesh.n_nodes))
+        assert np.isfinite(np.asarray(u)).all()

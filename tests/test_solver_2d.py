@@ -1,0 +1,84 @@
+"""2D solver tests — covers the reference's qualitative 2D checks
+(test_fem.py:160-179) and adds the exactness/convergence coverage the
+reference admits it lacks (reference README.md:140 roadmap)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import assemble_stiffness_dense
+from difffe_tpu.solver import solve_poisson
+
+METHODS_2D = ["dense", "lu", "cg"]
+
+
+@pytest.mark.parametrize("method", METHODS_2D)
+class TestPoisson2D:
+    def test_zero_forcing_gives_zero(self, method):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        u = solve_poisson(mesh, 1.0, jnp.zeros(mesh.n_nodes), method=method)
+        assert float(jnp.max(jnp.abs(u))) < 1e-10
+
+    def test_positive_interior(self, method):
+        # f>0, zero BCs → interior u>0 (discrete max principle,
+        # reference test_fem.py:171-179)
+        mesh = FEMesh.rectangle(nx=8, ny=8)
+        u = solve_poisson(mesh, 1.0, jnp.ones(mesh.n_nodes), method=method)
+        free = mesh.free_nodes()
+        assert float(jnp.min(u[free])) > 0.0
+
+    def test_manufactured_solution(self, method):
+        # u = sin(πx)sin(πy), f = 2π²sin(πx)sin(πy)
+        mesh = FEMesh.rectangle(nx=16, ny=16)
+        x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+        f = 2.0 * math.pi ** 2 * jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+        u = solve_poisson(mesh, 1.0, f, method=method)
+        u_exact = jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+        err = float(jnp.max(jnp.abs(u - u_exact)))
+        assert err < 2e-2, f"max error {err:.3e}"
+
+
+def test_2d_convergence():
+    """O(h²) convergence on the manufactured solution — the coverage gap the
+    reference's roadmap admits (README.md:140)."""
+    errors = []
+    for n in [4, 8, 16, 32]:
+        mesh = FEMesh.rectangle(nx=n, ny=n)
+        x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+        f = 2.0 * math.pi ** 2 * jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+        u = solve_poisson(mesh, 1.0, f, method="dense")
+        u_exact = jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+        errors.append(float(jnp.max(jnp.abs(u - u_exact))))
+    for i in range(1, len(errors)):
+        ratio = errors[i - 1] / (errors[i] + 1e-15)
+        assert ratio > 3.0, f"expected ~4x reduction, got {ratio:.2f}"
+
+
+def test_stiffness_symmetric_and_singular_before_bc():
+    mesh = FEMesh.rectangle(nx=4, ny=4)
+    K = assemble_stiffness_dense(mesh, 1.0)
+    Kn = np.asarray(K)
+    np.testing.assert_allclose(Kn, Kn.T, atol=1e-12)
+    # constant vector in the nullspace (no BCs applied yet)
+    np.testing.assert_allclose(Kn @ np.ones(mesh.n_nodes), 0.0, atol=1e-12)
+
+
+def test_degenerate_triangle_skipped():
+    """Zero-area elements contribute nothing (reference solver.py:120-121)."""
+    mesh = FEMesh.rectangle(nx=2, ny=2)
+    # append a degenerate element (three identical nodes)
+    import jax
+    bad = jnp.array([[0, 0, 0]], dtype=jnp.int32)
+    mesh2 = FEMesh(
+        nodes=mesh.nodes,
+        elements=jnp.concatenate([mesh.elements, bad], axis=0),
+        bc_mask=mesh.bc_mask,
+        bc_values=mesh.bc_values,
+    )
+    K1 = np.asarray(assemble_stiffness_dense(mesh, 1.0))
+    K2 = np.asarray(assemble_stiffness_dense(mesh2, 1.0))
+    np.testing.assert_allclose(K1, K2, atol=1e-12)
+    assert np.isfinite(K2).all()
