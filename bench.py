@@ -1,0 +1,66 @@
+"""Headline benchmark: batched differentiable FEM solves/s/chip (fwd+adjoint).
+
+Workload: 1D Poisson κ-inversion gradient step — B scenarios, each a forward
+FEM solve plus an adjoint solve with gradients to per-scenario κ — on a
+30-element mesh, matching the reference's measured 95 grad-solves/s
+(fwd+backward ∂/∂κ, 30 elements, CPU float64 — BASELINE.md 'measured').
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 95 (the reference's rate on the same mesh size).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
+N_ELEMENTS = 30
+BATCH = 8192
+TIMED_ITERS = 30
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.solver import solve_poisson_batched
+
+    dtype = jnp.float32
+    mesh = FEMesh.line(n_elements=N_ELEMENTS, dtype=dtype)
+    x = mesh.nodes[:, 0]
+
+    key = jax.random.PRNGKey(0)
+    k_true = 1.0 + jax.random.uniform(key, (BATCH,), dtype) * 2.0
+    f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (BATCH, mesh.n_nodes))
+    u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag")
+
+    def loss_fn(log_k):
+        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method="tridiag")
+        return jnp.mean((u - u_data) ** 2)
+
+    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+
+    log_k = jnp.zeros((BATCH,), dtype)
+    # warmup / compile
+    loss, g = grad_step(log_k)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ITERS):
+        loss, g = grad_step(log_k)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    solves_per_s = BATCH * TIMED_ITERS / dt
+    print(json.dumps({
+        "metric": "batched differentiable 1D FEM solves/s/chip "
+                  "(fwd+adjoint, 30-elem mesh, f32)",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_GRAD_SOLVES_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

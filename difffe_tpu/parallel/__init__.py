@@ -1,0 +1,22 @@
+"""Parallelism: device meshes, scenario-batch (dp) and DOF (tp/sp) sharding,
+explicit shard_map+psum training steps, multi-host init."""
+
+from .sharding import (
+    batch_dof_sharding,
+    batch_sharding,
+    make_device_mesh,
+    make_inversion_step,
+    make_inversion_step_shard_map,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_dof_sharding",
+    "batch_sharding",
+    "make_device_mesh",
+    "make_inversion_step",
+    "make_inversion_step_shard_map",
+    "replicated",
+    "shard_batch",
+]

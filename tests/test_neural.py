@@ -1,0 +1,125 @@
+"""Neural surrogate tests — mirrors reference TestNeuralPDE
+(/root/reference/tests/test_neural.py:20-90)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.models.neural import NeuralPDE, boundary_mask
+from difffe_tpu.solver import solve_poisson
+
+
+class TestNeuralPDE:
+    def test_bc_enforced_before_training(self):
+        mesh = FEMesh.line(n_elements=10)
+        model = NeuralPDE(mesh)
+        u = model()
+        assert abs(float(u[0])) < 1e-10
+        assert abs(float(u[-1])) < 1e-10
+
+    def test_bc_enforced_after_training(self):
+        mesh = FEMesh.line(n_elements=10)
+        model = NeuralPDE(mesh, hidden_dim=16, n_layers=2)
+        model.train_pde(jnp.ones_like, n_epochs=100, verbose=False)
+        u = model()
+        assert abs(float(u[0])) < 1e-10
+        assert abs(float(u[-1])) < 1e-10
+
+    def test_loss_decreases(self):
+        mesh = FEMesh.line(n_elements=20)
+        model = NeuralPDE(mesh, hidden_dim=32, n_layers=3)
+        losses = model.train_pde(jnp.ones_like, n_epochs=300, verbose=False)
+        assert losses[-1] < losses[0]
+
+    def test_converges_to_fem(self):
+        # reference test_neural.py:50-72 — within 5% relative after 3000 ep
+        mesh = FEMesh.line(n_elements=20)
+        model = NeuralPDE(mesh, hidden_dim=64, n_layers=3,
+                          key=jax.random.PRNGKey(42))
+        u_fem = solve_poisson(mesh, 1.0, jnp.ones(mesh.n_nodes))
+        model.train_pde(jnp.ones_like, n_epochs=3000, lr=1e-3, verbose=False)
+        u_nn = model()
+        free = mesh.free_nodes()
+        rel = float(jnp.max(jnp.abs(u_nn[free] - u_fem[free]))
+                    / jnp.max(jnp.abs(u_fem[free])))
+        assert rel < 0.05, f"relative error {rel:.3f}"
+
+    def test_2d_mask_binary(self):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        mask = np.asarray(boundary_mask(mesh))
+        bc = np.asarray(mesh.bc_mask) > 0.5
+        assert (mask[bc] == 0.0).all()
+        assert (mask[~bc] == 1.0).all()
+
+    def test_2d_model_runs(self):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        model = NeuralPDE(mesh, hidden_dim=8, n_layers=2)
+        u = model()
+        assert u.shape == (mesh.n_nodes,)
+        bc = np.asarray(mesh.bc_mask) > 0.5
+        np.testing.assert_allclose(np.asarray(u)[bc], 0.0, atol=1e-12)
+
+
+class TestPhysicsLoss:
+    def test_fem_match_decreases(self):
+        from difffe_tpu.losses import PhysicsLoss
+        mesh = FEMesh.line(n_elements=10)
+        model = NeuralPDE(mesh, hidden_dim=32, n_layers=2,
+                          key=jax.random.PRNGKey(0))
+        loss_fn = PhysicsLoss(mesh, jnp.ones_like, mode="fem_match")
+        loss_init = float(loss_fn(model()))
+        model.train_pde(jnp.ones_like, n_epochs=500, verbose=False)
+        loss_final = float(loss_fn(model()))
+        assert loss_final < loss_init
+
+    def test_unknown_mode_raises(self):
+        from difffe_tpu.losses import PhysicsLoss
+        import pytest
+        mesh = FEMesh.line(n_elements=4)
+        with pytest.raises(ValueError):
+            PhysicsLoss(mesh, jnp.ones_like, mode="bogus")
+
+    def test_variational_zero_for_exact(self):
+        """FD residual ≈ 0 when u satisfies the FD equations exactly."""
+        from difffe_tpu.losses import variational_fd_loss
+        mesh = FEMesh.line(n_elements=16)
+        x = mesh.nodes[:, 0]
+        # -u'' = 2 → u = x(1-x): FD laplacian of a quadratic is exact
+        u = x * (1 - x)
+        f = 2.0 * jnp.ones_like(x)
+        loss = float(variational_fd_loss(mesh, u, f))
+        assert loss < 1e-20
+
+    def test_variational_positive_for_wrong(self):
+        from difffe_tpu.losses import variational_fd_loss
+        mesh = FEMesh.line(n_elements=16)
+        x = mesh.nodes[:, 0]
+        loss = float(variational_fd_loss(mesh, jnp.zeros_like(x),
+                                         jnp.ones_like(x)))
+        assert loss > 0.1
+
+    def test_energy_minimized_by_fem_solution(self):
+        """Ritz energy of the FEM solution ≤ energy of any perturbation."""
+        from difffe_tpu.losses import energy_loss
+        mesh = FEMesh.line(n_elements=16)
+        f = jnp.ones(mesh.n_nodes)
+        u_fem = solve_poisson(mesh, 1.0, f)
+        e0 = float(energy_loss(mesh, 1.0, u_fem, f))
+        key = jax.random.PRNGKey(1)
+        free = 1.0 - mesh.bc_mask
+        for i in range(5):
+            du = free * jax.random.normal(jax.random.fold_in(key, i),
+                                          (mesh.n_nodes,), mesh.dtype) * 0.01
+            e = float(energy_loss(mesh, 1.0, u_fem + du, f))
+            assert e >= e0 - 1e-12
+
+    def test_energy_gradient_points_to_fem_solution(self):
+        """∇_u energy = Ku − F — zero at the FEM solution (free nodes)."""
+        from difffe_tpu.losses import energy_loss
+        mesh = FEMesh.line(n_elements=12)
+        f = jnp.ones(mesh.n_nodes)
+        u_fem = solve_poisson(mesh, 1.0, f)
+        g = jax.grad(lambda u: energy_loss(mesh, 1.0, u, f))(u_fem)
+        free = mesh.free_nodes()
+        np.testing.assert_allclose(np.asarray(g)[free], 0.0, atol=1e-10)

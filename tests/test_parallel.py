@@ -1,0 +1,113 @@
+"""Sharding/collective tests on the fake 8-device CPU mesh (SURVEY.md §4).
+
+Checks: sharded-vs-unsharded numerical equivalence, explicit-psum shard_map
+path agrees with the GSPMD jit path, DOF sharding compiles and matches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.parallel import (
+    make_device_mesh,
+    make_inversion_step,
+    make_inversion_step_shard_map,
+    shard_batch,
+)
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+
+
+@pytest.fixture(scope="module")
+def problem():
+    fe_mesh = FEMesh.line(n_elements=32)
+    B = 16
+    key = jax.random.PRNGKey(0)
+    k_true = 1.0 + jax.random.uniform(key, (B,), fe_mesh.dtype) * 2.0
+    x = fe_mesh.nodes[:, 0]
+    f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, fe_mesh.n_nodes))
+    u_data = solve_poisson_batched(fe_mesh, k_true, f)
+    return fe_mesh, k_true, f, u_data
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_solve_matches_unsharded(problem):
+    fe_mesh, k_true, f, u_data = problem
+    dmesh = make_device_mesh()
+    k_sh, f_sh = shard_batch(dmesh, k_true, f)
+    u_sh = solve_poisson_batched(fe_mesh, k_sh, f_sh)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_data),
+                               atol=1e-12)
+
+
+def test_gspmd_inversion_recovers_kappa(problem):
+    fe_mesh, k_true, f, u_data = problem
+    dmesh = make_device_mesh()
+    init_fn, step_fn, data_sh = make_inversion_step(fe_mesh, dmesh, lr=0.2)
+    log_k, opt_state = init_fn(jnp.zeros(k_true.shape, fe_mesh.dtype))
+    f_sh = jax.device_put(f, data_sh)
+    u_sh = jax.device_put(u_data, data_sh)
+    for _ in range(300):
+        log_k, opt_state, loss = step_fn(log_k, opt_state, f_sh, u_sh)
+        # only 2 host CPUs back the 8 virtual devices: block each step so
+        # concurrent collective executions can't starve XLA's rendezvous
+        jax.block_until_ready(log_k)
+    err = float(jnp.max(jnp.abs(jnp.exp(log_k) - k_true)))
+    assert err < 1e-4, f"kappa error {err:.2e}"
+
+
+def test_shard_map_step_matches_gspmd(problem):
+    fe_mesh, k_true, f, u_data = problem
+    dmesh = make_device_mesh()
+    init_g, step_g, data_sh = make_inversion_step(fe_mesh, dmesh, lr=0.1)
+    init_s, step_s = make_inversion_step_shard_map(fe_mesh, dmesh, lr=0.1)
+
+    k0 = jnp.zeros(k_true.shape, fe_mesh.dtype)
+    kg, sg = init_g(k0)
+    ks, ss = init_s(k0)
+    f_g = jax.device_put(f, data_sh)
+    u_g = jax.device_put(u_data, data_sh)
+    for _ in range(5):
+        kg, sg, loss_g = step_g(kg, sg, f_g, u_g)
+        jax.block_until_ready(kg)
+        ks, ss, loss_s = step_s(ks, ss, f_g, u_g)
+        jax.block_until_ready(ks)
+    np.testing.assert_allclose(np.asarray(kg), np.asarray(ks), atol=1e-10)
+    assert abs(float(loss_g) - float(loss_s)) < 1e-12
+
+
+def test_dof_sharded_2d_mesh():
+    """2D device mesh (dp=4 × dof=2): batch AND DOF axes sharded.
+
+    Uses 31 elements → 32 nodes so the DOF axis divides evenly across the
+    dof mesh axis (GSPMD requires divisibility for explicit shardings)."""
+    fe_mesh = FEMesh.line(n_elements=31)
+    B = 16
+    key = jax.random.PRNGKey(0)
+    k_true = 1.0 + jax.random.uniform(key, (B,), fe_mesh.dtype) * 2.0
+    x = fe_mesh.nodes[:, 0]
+    f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, fe_mesh.n_nodes))
+    u_data = solve_poisson_batched(fe_mesh, k_true, f)
+    dmesh = make_device_mesh(mesh_shape=(4, 2))
+    init_fn, step_fn, data_sh = make_inversion_step(
+        fe_mesh, dmesh, lr=0.2, shard_dof=True)
+    log_k, opt_state = init_fn(jnp.zeros(k_true.shape, fe_mesh.dtype))
+    f_sh = jax.device_put(f, data_sh)
+    u_sh = jax.device_put(u_data, data_sh)
+    for _ in range(50):
+        log_k, opt_state, loss = step_fn(log_k, opt_state, f_sh, u_sh)
+        jax.block_until_ready(log_k)
+    assert np.isfinite(float(loss))
+    # same trajectory as the dp-only layout after the same #steps
+    dmesh1 = make_device_mesh()
+    init1, step1, dsh1 = make_inversion_step(fe_mesh, dmesh1, lr=0.2)
+    lk1, os1 = init1(jnp.zeros(k_true.shape, fe_mesh.dtype))
+    f1 = jax.device_put(f, dsh1)
+    u1 = jax.device_put(u_data, dsh1)
+    for _ in range(50):
+        lk1, os1, _ = step1(lk1, os1, f1, u1)
+        jax.block_until_ready(lk1)
+    np.testing.assert_allclose(np.asarray(log_k), np.asarray(lk1), atol=1e-9)
