@@ -1,0 +1,43 @@
+"""Control layer: heat-equation rollouts, receding-horizon MPC, topology
+optimization — the north-star capabilities beyond the reference's roadmap
+(/root/reference/README.md:139-143)."""
+
+from .heat import (
+    heat_step_tridiag,
+    heat_system_tridiag,
+    rollout,
+    rollout_batched,
+)
+from .mpc import (
+    MPCConfig,
+    gaussian_actuators,
+    make_planner,
+    receding_horizon,
+    tracking_cost,
+)
+from .topopt import (
+    TopOptConfig,
+    compliance,
+    density_filter,
+    oc_update,
+    optimize,
+    optimize_batched,
+)
+
+__all__ = [
+    "heat_step_tridiag",
+    "heat_system_tridiag",
+    "rollout",
+    "rollout_batched",
+    "MPCConfig",
+    "gaussian_actuators",
+    "make_planner",
+    "receding_horizon",
+    "tracking_cost",
+    "TopOptConfig",
+    "compliance",
+    "density_filter",
+    "oc_update",
+    "optimize",
+    "optimize_batched",
+]

@@ -1,0 +1,113 @@
+"""Time-dependent heat equation: implicit rollouts with adjoint gradients.
+
+The reference's roadmap lists "time-dependent problems (heat equation)" as
+unimplemented (/root/reference/README.md:142); the north star makes it a
+first-class config ('1D time-dependent heat equation, receding-horizon
+source control, H=50 steps, 4096 scenarios', BASELINE.json config 3).
+
+Discretization: method-of-lines P1 FEM with lumped mass —
+
+    M u̇ + K(κ)u = F(q),   backward Euler:  (M + Δt·K) u_{t+1} = M u_t + Δt·F_{t+1}
+
+Backward Euler is unconditionally stable, so Δt is a modeling choice, and
+the system matrix (M + Δt·K) is SPD and **time-independent** — on a 1D chain
+mesh it is one tridiagonal PCR solve per step (ops/tridiag.py), batched over
+scenarios.  The rollout is a ``jax.lax.scan`` with ``jax.checkpoint`` on the
+step (rematerialized adjoint sweep — the time axis is this domain's
+'sequence parallelism', SURVEY.md §2b/§5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import FEMesh
+from ..ops.assembly import (
+    assemble_load,
+    assemble_lumped_mass,
+    assemble_stiffness_dense,
+    assemble_tridiag_1d,
+)
+from ..ops.solve import apply_dirichlet_dense, cholesky_solve
+from ..ops.tridiag import solve_poisson_tridiag
+
+
+def heat_system_tridiag(mesh: FEMesh, kappa, dt: float):
+    """Bands (d, e) of A = M_lumped + Δt·K for a 1D chain mesh."""
+    dK, eK = assemble_tridiag_1d(mesh, kappa)
+    M = assemble_lumped_mass(mesh)
+    return M + dt * dK, dt * eK
+
+
+def heat_step_tridiag(mesh: FEMesh, bands, M: jax.Array, u: jax.Array,
+                      f_next: jax.Array, dt: float) -> jax.Array:
+    """One backward-Euler step on a 1D mesh (batched over leading axes).
+
+    ``f_next`` holds nodal forcing values at t+Δt; the load integral and BC
+    elimination are applied inside.
+    """
+    d, e = bands
+    rhs = M * u + dt * assemble_load(mesh, f_next)
+    return solve_poisson_tridiag(mesh, d, e, rhs)
+
+
+def rollout(
+    mesh: FEMesh,
+    kappa,
+    u0: jax.Array,
+    f_seq: jax.Array,
+    dt: float,
+    method: str = "auto",
+) -> jax.Array:
+    """Roll the heat equation H steps; returns the trajectory (H, ..., n).
+
+    f_seq: (H, ..., n_nodes) nodal forcing per step (leading batch axes after
+    H broadcast against u0).  Differentiable wrt κ, u0, and f_seq through the
+    per-step custom-VJP solves; the scan carries ``jax.checkpoint`` so the
+    adjoint sweep rematerializes states instead of storing all solver
+    internals.
+    """
+    if method == "auto":
+        method = "tridiag" if mesh.dim == 1 else "dense"
+
+    if method == "tridiag":
+        bands = heat_system_tridiag(mesh, kappa, dt)
+        M = assemble_lumped_mass(mesh)
+
+        @jax.checkpoint
+        def step(u, f_next):
+            u_next = heat_step_tridiag(mesh, bands, M, u, f_next, dt)
+            return u_next, u_next
+
+    elif method == "dense":
+        K = assemble_stiffness_dense(mesh, kappa)
+        M = assemble_lumped_mass(mesh)
+        A = jnp.diag(M) + dt * K
+
+        @jax.checkpoint
+        def step(u, f_next):
+            rhs = M * u + dt * assemble_load(mesh, f_next)
+            A_mod, rhs_mod = apply_dirichlet_dense(mesh, A, rhs)
+            u_next = cholesky_solve(A_mod, rhs_mod)
+            return u_next, u_next
+
+    else:
+        raise ValueError(f"Unknown method {method!r}")
+
+    _, traj = jax.lax.scan(step, u0, f_seq)
+    return traj
+
+
+def rollout_batched(mesh: FEMesh, kappa, u0: jax.Array, f_seq: jax.Array,
+                    dt: float, method: str = "auto") -> jax.Array:
+    """Scenario-batched rollout: κ (B,…), u0 (B, n), f_seq (H, B, n) →
+    trajectory (H, B, n)."""
+    kappa = jnp.asarray(kappa, dtype=mesh.dtype)
+    k_batched = kappa.ndim >= 1 and kappa.shape[0] == u0.shape[0]
+    fn = lambda k, u, f: rollout(mesh, k, u, f, dt, method)
+    return jax.vmap(fn, in_axes=(0 if k_batched else None, 0, 1),
+                    out_axes=1)(kappa, u0, f_seq)

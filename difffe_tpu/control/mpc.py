@@ -1,0 +1,143 @@
+"""Receding-horizon source control of the heat equation (MPC).
+
+North-star config 3: control the forcing q(x,t) of the heat equation over a
+horizon H so the temperature field tracks a target, re-planning each step
+from the realized state.  The planner optimizes the whole horizon by Adam
+over adjoint gradients through the ``control.heat.rollout`` scan; each MPC
+step applies the first planned control and warm-starts the next plan with
+the shifted sequence — the standard receding-horizon loop, expressed as
+jitted JAX so thousands of scenarios run batched on-chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..mesh import FEMesh
+from .heat import heat_step_tridiag, heat_system_tridiag, rollout
+from ..ops.assembly import assemble_lumped_mass
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    horizon: int = 50          # H — BASELINE config 3 uses H=50
+    dt: float = 1e-3
+    lr: float = 0.1
+    plan_iters: int = 100      # Adam steps per (re-)plan
+    control_penalty: float = 1e-4
+    terminal_weight: float = 1.0
+
+
+def gaussian_actuators(mesh: FEMesh, centers, width: float) -> jax.Array:
+    """Actuator basis B (n_controls, n_nodes): Gaussian bumps at ``centers``.
+
+    Forcing is q(x,t) = Σ_c a_c(t)·B_c(x) — a low-dimensional control
+    parameterization over the nodal forcing field.
+    """
+    x = mesh.nodes[:, 0] if mesh.dim == 1 else mesh.nodes
+    centers = jnp.asarray(centers, dtype=mesh.dtype)
+    if mesh.dim == 1:
+        d2 = (x[None, :] - centers[:, None]) ** 2
+    else:
+        d2 = jnp.sum((x[None, :, :] - centers[:, None, :]) ** 2, axis=-1)
+    return jnp.exp(-d2 / (2.0 * width ** 2))
+
+
+def tracking_cost(
+    mesh: FEMesh,
+    traj: jax.Array,
+    target: jax.Array,
+    controls: jax.Array,
+    cfg: MPCConfig,
+) -> jax.Array:
+    """Σ_t mean((u_t − target)² on free nodes) + α·mean(q²) + terminal term."""
+    free = 1.0 - mesh.bc_mask
+    nfree = jnp.maximum(jnp.sum(free), 1.0)
+    err = (traj - target) ** 2 * free
+    run = jnp.sum(jnp.mean(jnp.sum(err, axis=-1) / nfree, axis=0))
+    term = cfg.terminal_weight * jnp.sum(err[-1]) / nfree
+    reg = cfg.control_penalty * jnp.mean(controls ** 2)
+    return run + term + reg
+
+
+def make_planner(
+    mesh: FEMesh,
+    kappa,
+    actuators: jax.Array,
+    target: jax.Array,
+    cfg: MPCConfig,
+):
+    """Jitted full-horizon planner: (u0, q_init) → (q_opt, final cost).
+
+    The entire Adam optimization (plan_iters × {rollout + adjoint sweep})
+    runs as one on-device ``lax.scan``.
+    """
+    opt = optax.adam(cfg.lr)
+
+    def cost_of(q, u0):
+        f_seq = q @ actuators                       # (H, n_nodes)
+        traj = rollout(mesh, kappa, u0, f_seq, cfg.dt, method="tridiag")
+        return tracking_cost(mesh, traj, target, q, cfg)
+
+    @jax.jit
+    def plan(u0: jax.Array, q_init: jax.Array):
+        state = opt.init(q_init)
+
+        def step(carry, _):
+            q, st = carry
+            loss, g = jax.value_and_grad(cost_of)(q, u0)
+            updates, st = opt.update(g, st)
+            q = optax.apply_updates(q, updates)
+            return (q, st), loss
+
+        (q, _), losses = jax.lax.scan(step, (q_init, state), None,
+                                      length=cfg.plan_iters)
+        return q, losses
+
+    return plan
+
+
+def receding_horizon(
+    mesh: FEMesh,
+    kappa,
+    u0: jax.Array,
+    actuators: jax.Array,
+    target: jax.Array,
+    cfg: MPCConfig,
+    n_mpc_steps: int,
+    disturbance: Optional[Callable[[int, jax.Array], jax.Array]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Closed-loop MPC: plan, apply first control, advance, shift, repeat.
+
+    Returns (states (n_mpc_steps+1, n_nodes), applied controls
+    (n_mpc_steps, n_controls)).  ``disturbance(step, u) → u`` optionally
+    perturbs the realized state (plant/model mismatch).
+    """
+    plan = make_planner(mesh, kappa, actuators, target, cfg)
+    bands = heat_system_tridiag(mesh, kappa, cfg.dt)
+    M = assemble_lumped_mass(mesh)
+
+    advance = jax.jit(lambda u, f: heat_step_tridiag(
+        mesh, bands, M, u, f, cfg.dt))
+
+    n_controls = actuators.shape[0]
+    q_warm = jnp.zeros((cfg.horizon, n_controls), dtype=mesh.dtype)
+    u = u0
+    states = [u0]
+    applied = []
+    for step in range(n_mpc_steps):
+        q_opt, _ = plan(u, q_warm)
+        q0 = q_opt[0]
+        u = advance(u, q0 @ actuators)
+        if disturbance is not None:
+            u = disturbance(step, u)
+        states.append(u)
+        applied.append(q0)
+        # shift warm start: drop applied control, repeat last
+        q_warm = jnp.concatenate([q_opt[1:], q_opt[-1:]], axis=0)
+    return jnp.stack(states), jnp.stack(applied)

@@ -1,0 +1,40 @@
+"""Receding-horizon heat-equation source control (BASELINE config 3 demo).
+
+Steers the temperature field of a 1D rod toward a target profile using three
+Gaussian heat sources, re-planning over an H-step horizon each MPC step.
+
+Run: python examples/heat_mpc_demo.py
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from difffe_tpu import FEMesh
+from difffe_tpu.control import MPCConfig, gaussian_actuators, receding_horizon
+
+
+def main():
+    mesh = FEMesh.line(n_elements=64)
+    x = mesh.nodes[:, 0]
+    target_field = 0.3 * jnp.sin(jnp.pi * x)
+    cfg = MPCConfig(horizon=50, dt=2e-3, lr=0.3, plan_iters=60,
+                    control_penalty=1e-6)
+    target = jnp.broadcast_to(target_field, (cfg.horizon, mesh.n_nodes))
+    actuators = gaussian_actuators(mesh, [0.25, 0.5, 0.75], width=0.1)
+
+    states, controls = receding_horizon(
+        mesh, 1.0, jnp.zeros(mesh.n_nodes), actuators, target, cfg,
+        n_mpc_steps=20)
+
+    free = mesh.free_nodes()
+    for i in [0, 5, 10, 15, 20]:
+        err = float(jnp.max(jnp.abs(states[i][free] - target_field[free])))
+        print(f"  MPC step {i:2d}: max tracking error = {err:.4f}")
+    print(f"  final control amplitudes: {controls[-1]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Heat rollout, MPC, and topology-optimization tests (BASELINE configs 3/5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.control import (
+    MPCConfig,
+    TopOptConfig,
+    gaussian_actuators,
+    make_planner,
+    optimize,
+    receding_horizon,
+    rollout,
+    rollout_batched,
+)
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.solver import solve_poisson
+
+
+class TestHeatRollout:
+    def test_decay_to_zero(self):
+        """No forcing + zero BCs → solution decays monotonically."""
+        mesh = FEMesh.line(n_elements=32)
+        x = mesh.nodes[:, 0]
+        u0 = jnp.sin(jnp.pi * x)
+        H = 50
+        f_seq = jnp.zeros((H, mesh.n_nodes))
+        traj = rollout(mesh, 1.0, u0, f_seq, dt=1e-3)
+        norms = np.asarray(jnp.linalg.norm(traj, axis=-1))
+        assert (np.diff(norms) < 0).all()
+        assert norms[-1] < norms[0] * 0.7
+
+    def test_matches_analytic_decay_rate(self):
+        """u0=sin(πx) decays like exp(−π²t); backward Euler approximates the
+        rate to O(Δt)."""
+        mesh = FEMesh.line(n_elements=64)
+        x = mesh.nodes[:, 0]
+        u0 = jnp.sin(jnp.pi * x)
+        dt = 1e-4
+        H = 100
+        traj = rollout(mesh, 1.0, u0, jnp.zeros((H, mesh.n_nodes)), dt=dt)
+        t_end = H * dt
+        exact = jnp.exp(-jnp.pi ** 2 * t_end)
+        mid = mesh.n_nodes // 2
+        ratio = float(traj[-1, mid] / u0[mid])
+        assert abs(ratio - float(exact)) < 5e-3
+
+    def test_steady_state_matches_poisson(self):
+        """Constant forcing, long horizon → steady state solves −κu″=f."""
+        mesh = FEMesh.line(n_elements=32)
+        f = jnp.ones(mesh.n_nodes)
+        H = 400
+        f_seq = jnp.broadcast_to(f, (H, mesh.n_nodes))
+        u0 = jnp.zeros(mesh.n_nodes)
+        traj = rollout(mesh, 1.0, u0, f_seq, dt=5e-3)
+        u_ss = solve_poisson(mesh, 1.0, f)
+        np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(u_ss),
+                                   atol=1e-6)
+
+    def test_dense_matches_tridiag(self):
+        mesh = FEMesh.line(n_elements=16)
+        x = mesh.nodes[:, 0]
+        u0 = jnp.sin(jnp.pi * x)
+        f_seq = jnp.broadcast_to(jnp.cos(x), (20, mesh.n_nodes))
+        t1 = rollout(mesh, 1.3, u0, f_seq, dt=1e-3, method="tridiag")
+        t2 = rollout(mesh, 1.3, u0, f_seq, dt=1e-3, method="dense")
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-10)
+
+    def test_2d_rollout_runs(self):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        u0 = jnp.zeros(mesh.n_nodes)
+        f_seq = jnp.ones((10, mesh.n_nodes))
+        traj = rollout(mesh, 1.0, u0, f_seq, dt=1e-3, method="dense")
+        assert traj.shape == (10, mesh.n_nodes)
+        assert np.isfinite(np.asarray(traj)).all()
+
+    def test_gradient_through_rollout(self):
+        """∂(final-state loss)/∂κ via the rematerialized adjoint sweep."""
+        mesh = FEMesh.line(n_elements=16)
+        x = mesh.nodes[:, 0]
+        u0 = jnp.sin(jnp.pi * x)
+        H = 30
+        f_seq = jnp.zeros((H, mesh.n_nodes))
+
+        def loss(k):
+            traj = rollout(mesh, k, u0, f_seq, dt=1e-3)
+            return jnp.sum(traj[-1] ** 2)
+
+        g = jax.grad(loss)(1.0)
+        eps = 1e-5
+        g_fd = (loss(1.0 + eps) - loss(1.0 - eps)) / (2 * eps)
+        assert abs(float(g) - float(g_fd)) < 1e-6 * max(1.0, abs(float(g_fd)))
+
+    def test_batched_rollout(self):
+        mesh = FEMesh.line(n_elements=16)
+        B, H = 8, 10
+        x = mesh.nodes[:, 0]
+        u0 = jnp.broadcast_to(jnp.sin(jnp.pi * x), (B, mesh.n_nodes))
+        kb = jnp.linspace(0.5, 2.0, B)
+        f_seq = jnp.zeros((H, B, mesh.n_nodes))
+        traj = rollout_batched(mesh, kb, u0, f_seq, dt=1e-3)
+        assert traj.shape == (H, B, mesh.n_nodes)
+        # higher κ → faster decay
+        finals = np.asarray(jnp.linalg.norm(traj[-1], axis=-1))
+        assert (np.diff(finals) < 0).all()
+
+
+class TestMPC:
+    def test_planner_reduces_cost(self):
+        mesh = FEMesh.line(n_elements=32)
+        x = mesh.nodes[:, 0]
+        target = jnp.broadcast_to(
+            0.5 * jnp.sin(jnp.pi * x), (20, mesh.n_nodes))
+        cfg = MPCConfig(horizon=20, dt=5e-3, lr=0.3, plan_iters=60,
+                        control_penalty=1e-6)
+        act = gaussian_actuators(mesh, [0.25, 0.5, 0.75], width=0.1)
+        plan = make_planner(mesh, 1.0, act, target, cfg)
+        q0 = jnp.zeros((20, 3), mesh.dtype)
+        q_opt, losses = plan(jnp.zeros(mesh.n_nodes), q0)
+        assert float(losses[-1]) < 0.3 * float(losses[0])
+
+    def test_receding_horizon_tracks(self):
+        mesh = FEMesh.line(n_elements=32)
+        x = mesh.nodes[:, 0]
+        target_field = 0.3 * jnp.sin(jnp.pi * x)
+        cfg = MPCConfig(horizon=10, dt=5e-3, lr=0.3, plan_iters=40,
+                        control_penalty=1e-6)
+        target = jnp.broadcast_to(target_field, (10, mesh.n_nodes))
+        act = gaussian_actuators(mesh, [0.3, 0.5, 0.7], width=0.12)
+        states, controls = receding_horizon(
+            mesh, 1.0, jnp.zeros(mesh.n_nodes), act, target, cfg,
+            n_mpc_steps=15)
+        free = mesh.free_nodes()
+        err0 = float(jnp.max(jnp.abs(states[0][free] - target_field[free])))
+        errN = float(jnp.max(jnp.abs(states[-1][free] - target_field[free])))
+        assert errN < 0.5 * err0, f"{err0:.3f} -> {errN:.3f}"
+
+
+class TestTopOpt:
+    def test_compliance_decreases_and_volume_held(self):
+        cfg = TopOptConfig(nx=12, ny=12, vol_frac=0.4, n_iters=15)
+        mesh = FEMesh.rectangle(nx=cfg.nx, ny=cfg.ny)
+        f = jnp.ones(mesh.n_nodes)
+        rho, hist = optimize(mesh, f, cfg)
+        hist = np.asarray(hist)
+        assert hist[-1] < hist[0], f"{hist[0]:.4f} -> {hist[-1]:.4f}"
+        assert abs(float(jnp.mean(rho)) - cfg.vol_frac) < 0.02
+        assert float(jnp.min(rho)) >= 0.0 and float(jnp.max(rho)) <= 1.0
+
+    def test_filter_preserves_mean(self):
+        from difffe_tpu.control import density_filter
+        from difffe_tpu.control.topopt import cone_filter_kernel
+        key = jax.random.PRNGKey(0)
+        rho = jax.random.uniform(key, (16, 16), jnp.float64)
+        k = cone_filter_kernel(1.5, jnp.float64)
+        rf = density_filter(rho, k)
+        # smoothing: variance drops, values stay in [0,1]
+        assert float(jnp.var(rf)) < float(jnp.var(rho))
+        assert float(jnp.min(rf)) >= 0.0 and float(jnp.max(rf)) <= 1.0
