@@ -1,0 +1,171 @@
+"""Command-line entry point: run any BASELINE scenario end-to-end.
+
+    python -m difffe_tpu.cli list
+    python -m difffe_tpu.cli run demo_1d
+    python -m difffe_tpu.cli run batched_inverse_1d --batch 2048 --steps 300
+    python -m difffe_tpu.cli bench batched_inverse_1d
+
+The reference has no CLI (plain scripts only, SURVEY.md §1); this wraps the
+library's functional API with the config system (utils/config.py), metrics
+stream (utils/metrics.py), and timing harness (utils/profiling.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _mesh_for(cfg):
+    from .mesh import FEMesh
+    dtype = jnp.float64 if cfg.dtype == "f64" else jnp.float32
+    if cfg.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    if cfg.dim == 1:
+        return FEMesh.line(n_elements=cfg.n_elements, dtype=dtype)
+    return FEMesh.rectangle(nx=cfg.n_elements, ny=cfg.n_elements, dtype=dtype)
+
+
+def run_scenario(cfg, log=print):
+    """Dispatch one scenario; returns a result dict."""
+    from .solver import solve_poisson, solve_poisson_batched
+    from .utils.metrics import MetricsLogger
+    import optax
+
+    mesh = _mesh_for(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    metrics = MetricsLogger(stream=None)
+
+    if cfg.horizon > 0:
+        # time-dependent MPC scenario
+        from .control import MPCConfig, gaussian_actuators, receding_horizon
+        x = mesh.nodes[:, 0]
+        target_field = 0.3 * jnp.sin(jnp.pi * x)
+        mcfg = MPCConfig(horizon=cfg.horizon, dt=cfg.dt, lr=0.3,
+                         plan_iters=cfg.n_opt_steps, control_penalty=1e-6)
+        target = jnp.broadcast_to(target_field, (cfg.horizon, mesh.n_nodes))
+        act = gaussian_actuators(mesh, [0.25, 0.5, 0.75], width=0.1)
+        states, controls = receding_horizon(
+            mesh, 1.0, jnp.zeros(mesh.n_nodes, mesh.dtype), act, target,
+            mcfg, n_mpc_steps=10)
+        free = mesh.free_nodes()
+        err = float(jnp.max(jnp.abs(states[-1][free] - target_field[free])))
+        result = {"scenario": cfg.name, "tracking_error": err}
+
+    elif cfg.name == "topopt_2d":
+        from .control import TopOptConfig, optimize
+        tcfg = TopOptConfig(nx=cfg.n_elements, ny=cfg.n_elements,
+                            n_iters=cfg.n_opt_steps)
+        f = jnp.ones(mesh.n_nodes, mesh.dtype)
+        rho, hist = optimize(mesh, f, tcfg)
+        result = {"scenario": cfg.name,
+                  "compliance_initial": float(hist[0]),
+                  "compliance_final": float(hist[-1]),
+                  "volume": float(jnp.mean(rho))}
+
+    else:
+        # (batched) κ-recovery inverse problem
+        import optax
+        B = cfg.batch
+        x = mesh.nodes[:, 0] if mesh.dim == 1 else mesh.nodes[:, 0]
+        k_true = 1.0 + jax.random.uniform(key, (B,), mesh.dtype) * 2.0
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method=cfg.method)
+
+        def loss_fn(log_k):
+            u = solve_poisson_batched(mesh, jnp.exp(log_k), f,
+                                      method=cfg.method)
+            return jnp.mean((u - u_data) ** 2)
+
+        opt = optax.adam(cfg.lr)
+        log_k = jnp.zeros((B,), mesh.dtype)
+        state = opt.init(log_k)
+
+        @jax.jit
+        def step(log_k, state):
+            loss, g = jax.value_and_grad(loss_fn)(log_k)
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(log_k, updates), state, loss
+
+        for i in range(cfg.n_opt_steps):
+            log_k, state, loss = step(log_k, state)
+            if i % max(1, cfg.n_opt_steps // 5) == 0:
+                metrics.log(i, loss=float(loss))
+        err = float(jnp.max(jnp.abs(jnp.exp(log_k) - k_true)))
+        result = {"scenario": cfg.name, "batch": B,
+                  "kappa_max_error": err, "final_loss": float(loss)}
+
+    log(json.dumps(result))
+    return result
+
+
+def bench_scenario(cfg, log=print):
+    """Throughput of one fwd+adjoint step for the scenario's workload."""
+    from .solver import solve_poisson_batched
+    from .utils.profiling import timeit_jax
+
+    mesh = _mesh_for(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    B = cfg.batch
+    x = mesh.nodes[:, 0]
+    k_true = 1.0 + jax.random.uniform(key, (B,), mesh.dtype) * 2.0
+    f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+    u_data = solve_poisson_batched(mesh, k_true, f, method=cfg.method)
+
+    def loss_fn(log_k):
+        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method=cfg.method)
+        return jnp.mean((u - u_data) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    timing = timeit_jax(step, jnp.zeros((B,), mesh.dtype), iters=20)
+    result = {"scenario": cfg.name, "batch": B,
+              "grad_solves_per_s": round(timing.throughput(B), 1),
+              "step_ms": round(timing.mean_ms, 3)}
+    log(json.dumps(result))
+    return result
+
+
+def main(argv=None):
+    from .utils.config import BASELINE_CONFIGS, ScenarioConfig
+
+    parser = argparse.ArgumentParser(prog="difffe_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list scenarios")
+    for cmd in ("run", "bench"):
+        p = sub.add_parser(cmd)
+        p.add_argument("scenario", choices=sorted(BASELINE_CONFIGS))
+        p.add_argument("--batch", type=int)
+        p.add_argument("--steps", type=int)
+        p.add_argument("--method")
+    args = parser.parse_args(argv)
+
+    if args.cmd == "list":
+        for name, cfg in BASELINE_CONFIGS.items():
+            print(f"{name:24s} {cfg.to_json()}")
+        return 0
+
+    cfg = BASELINE_CONFIGS[args.scenario]
+    overrides = {}
+    if args.batch:
+        overrides["batch"] = args.batch
+    if args.steps:
+        overrides["n_opt_steps"] = args.steps
+    if args.method:
+        overrides["method"] = args.method
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    if args.cmd == "run":
+        run_scenario(cfg)
+    else:
+        bench_scenario(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: batched tridiagonal solve by parallel cyclic reduction.
+
+The hot op of every 1D config (BASELINE configs 1-3): B independent
+symmetric tridiagonal systems of size n.  The pure-XLA PCR
+(ops/tridiag.py) materializes each of the ⌈log₂n⌉ sweep states; this kernel
+keeps the entire reduction for a (TB, N) batch-block resident in VMEM — one
+HBM read of (d, e, F), log₂N in-register sweeps on the VPU, one HBM write of
+u.  Lane-axis shifts are ``pltpu.roll`` + mask (circular roll corrected to a
+zero/one-filled shift), so every sweep is pure elementwise VPU work.
+
+Padding contract: callers pad n → N (multiple of 128) with d=1, e=0, F=0;
+padded rows solve to u=0 and are decoupled (e=0), so results are exact.
+
+Gradients use the same symmetric-adjoint rule as ops/tridiag.py via
+``jax.custom_vjp`` (one more kernel call for λ, elementwise band grads).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shift_kernel_up(x, s, fill):
+    """y[:, i] = x[:, i-s] (head filled) via circular roll + mask."""
+    rolled = pltpu.roll(x, s, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(col < s, fill, rolled)
+
+
+def _shift_kernel_down(x, s, fill):
+    """y[:, i] = x[:, i+s] (tail filled); roll by N−s ≡ circular −s."""
+    n = x.shape[1]
+    rolled = pltpu.roll(x, n - s, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    return jnp.where(col >= n - s, fill, rolled)
+
+
+def _pcr_block_kernel(a_ref, d_ref, c_ref, f_ref, out_ref, *, steps: int):
+    a = a_ref[:]
+    b = d_ref[:]
+    c = c_ref[:]
+    r = f_ref[:]
+    one = jnp.ones((), b.dtype)
+    zero = jnp.zeros((), b.dtype)
+    s = 1
+    for _ in range(steps):
+        b_up = _shift_kernel_up(b, s, one)
+        b_dn = _shift_kernel_down(b, s, one)
+        a_up = _shift_kernel_up(a, s, zero)
+        c_dn = _shift_kernel_down(c, s, zero)
+        c_up = _shift_kernel_up(c, s, zero)
+        a_dn = _shift_kernel_down(a, s, zero)
+        r_up = _shift_kernel_up(r, s, zero)
+        r_dn = _shift_kernel_down(r, s, zero)
+        alpha = -a / b_up
+        gamma = -c / b_dn
+        a = alpha * a_up
+        c = gamma * c_dn
+        b = b + alpha * c_up + gamma * a_dn
+        r = r + alpha * r_up + gamma * r_dn
+        s *= 2
+    out_ref[:] = r / b
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "n_true"))
+def _pcr_pallas_padded(a, d, c, f, block_b: int = 64,
+                       n_true: int | None = None):
+    """All inputs (B, N) padded: B % block_b == 0, N % 128 == 0.
+
+    ``n_true`` is the unpadded system size: padded rows are decoupled
+    (e=0), so only ⌈log₂ n_true⌉ sweeps are needed — at n=31 padded to 128
+    that is 5 sweeps instead of 7.
+    """
+    B, N = d.shape
+    steps = max(1, math.ceil(math.log2(n_true if n_true else N)))
+    kernel = functools.partial(_pcr_block_kernel, steps=steps)
+    spec = pl.BlockSpec((block_b, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), d.dtype),
+        grid=(B // block_b,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=spec,
+        interpret=_is_cpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * N * steps,
+            bytes_accessed=5 * B * N * d.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(a, d, c, f)
+
+
+def _solve_padded(d, e, F, block_b):
+    """Pad (B, n) bands to kernel layout, run, slice back."""
+    B, n = d.shape
+    N = _round_up(max(n, 128), 128)
+    Bp = _round_up(max(B, block_b), block_b)
+    dtype = d.dtype
+
+    dp = jnp.ones((Bp, N), dtype).at[:B, :n].set(d)
+    ap = jnp.zeros((Bp, N), dtype).at[:B, 1:n].set(e)   # sub-diagonal
+    cp = jnp.zeros((Bp, N), dtype).at[:B, :n - 1].set(e)  # super-diagonal
+    fp = jnp.zeros((Bp, N), dtype).at[:B, :n].set(F)
+    u = _pcr_pallas_padded(ap, dp, cp, fp, block_b=block_b, n_true=n)
+    return u[:B, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def tridiag_solve_pallas(d: jax.Array, e: jax.Array, F: jax.Array,
+                         block_b: int = 64) -> jax.Array:
+    """Solve T u = F for B batched symmetric tridiagonal systems.
+
+    d: (B, n) diagonals, e: (B, n-1) off-diagonals, F: (B, n) RHS.
+    Also accepts unbatched (n,) inputs.
+    """
+    return _impl(d, e, F, block_b)
+
+
+def _impl(d, e, F, block_b):
+    lead = d.shape[:-1]          # () for unbatched, arbitrary leading dims
+    n = d.shape[-1]
+    d2 = d.reshape(-1, n)
+    e2 = e.reshape(-1, n - 1)
+    F2 = F.reshape(-1, n)
+    u = _solve_padded(d2, e2, F2, block_b)
+    return u.reshape(lead + (n,))
+
+
+def _fwd(d, e, F, block_b):
+    u = _impl(d, e, F, block_b)
+    return u, (d, e, u)
+
+
+def _bwd(block_b, res, g):
+    d, e, u = res
+    lam = _impl(d, e, g, block_b)       # T symmetric ⇒ Tλ = ḡ
+    grad_F = lam
+    grad_d = -lam * u
+    grad_e = -(lam[..., :-1] * u[..., 1:] + lam[..., 1:] * u[..., :-1])
+    return grad_d, grad_e, grad_F
+
+
+tridiag_solve_pallas.defvjp(_fwd, _bwd)

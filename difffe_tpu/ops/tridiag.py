@@ -104,12 +104,15 @@ tridiag_solve.defvjp(_tridiag_solve_fwd, _tridiag_solve_bwd)
 
 
 def solve_poisson_tridiag(mesh: FEMesh, d: jax.Array, e: jax.Array,
-                          F: jax.Array) -> jax.Array:
+                          F: jax.Array, backend: str = "xla") -> jax.Array:
     """BC-eliminate banded (d, e, F) on a 1D chain mesh and PCR-solve.
 
     Mask elimination in band form (see ops/solve.py for the dense analogue):
       d̃ = p⊙d + m,  ẽ_i = p_i p_{i+1} e_i,  F̃ = m⊙g + p(F − T(m⊙g)).
     Supports leading batch axes on d, e, F.
+
+    backend: 'xla' (fused elementwise sweeps) or 'pallas' (single VMEM-
+    resident kernel for the whole reduction, ops/pallas/tridiag_kernel.py).
     """
     m = mesh.bc_mask
     g = mesh.bc_values
@@ -117,5 +120,12 @@ def solve_poisson_tridiag(mesh: FEMesh, d: jax.Array, e: jax.Array,
     d_mod = p * d + m
     e_mod = p[..., :-1] * p[..., 1:] * e
     mg = jnp.broadcast_to(m * g, F.shape)
-    F_mod = m * g + p * (F - tridiag_matvec(d, e, mg))
-    return tridiag_solve(d_mod, e_mod, jnp.broadcast_to(F_mod, F.shape))
+    F_mod = jnp.broadcast_to(m * g + p * (F - tridiag_matvec(d, e, mg)),
+                             F.shape)
+    if backend == "pallas":
+        from .pallas.tridiag_kernel import tridiag_solve_pallas
+        bshape = F_mod.shape[:-1]
+        d_mod = jnp.broadcast_to(d_mod, bshape + d_mod.shape[-1:])
+        e_mod = jnp.broadcast_to(e_mod, bshape + e_mod.shape[-1:])
+        return tridiag_solve_pallas(d_mod, e_mod, F_mod)
+    return tridiag_solve(d_mod, e_mod, F_mod)

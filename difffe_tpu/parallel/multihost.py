@@ -1,0 +1,81 @@
+"""Multi-host initialization, failure detection, and scaling measurement.
+
+The reference has no distributed backend at all (SURVEY.md §5).  TPU-native
+equivalent: ``jax.distributed.initialize`` for multi-host slices (DCN for
+host coordination, ICI for collectives), a heartbeat-style health check, and
+a scaling-efficiency harness for the ≥80% multi-host target (BASELINE.md).
+
+On a single host these are no-ops / single-process paths, so the same
+driver script runs everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX; no-op when already initialized or
+    single-process (env-based auto-detection on TPU pods)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        # else: single process — nothing to do (TPU pods auto-init via env)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+@dataclasses.dataclass
+class HealthCheck:
+    """Cross-host liveness probe: an all-reduce with a wall-clock budget.
+
+    A hung or dead host makes the collective exceed ``timeout_s`` — the
+    caller can then abort and restart from the latest checkpoint
+    (utils/checkpoint.py), which is the failure-recovery story for long
+    optimizations (SURVEY.md §5 'failure detection / elastic recovery')."""
+
+    timeout_s: float = 60.0
+
+    def ping(self) -> bool:
+        t0 = time.time()
+        token = jnp.ones(())
+        total = jax.jit(lambda x: x * jax.device_count())(token)
+        jax.block_until_ready(total)
+        elapsed = time.time() - t0
+        ok = bool(total == jax.device_count()) and elapsed < self.timeout_s
+        return ok
+
+
+def scaling_efficiency(step_fn: Callable, make_args: Callable[[int], tuple],
+                       device_counts, iters: int = 10):
+    """Measure weak-scaling efficiency of ``step_fn`` across device subsets.
+
+    ``make_args(n_devices)`` builds per-run inputs whose batch scales with n.
+    Returns {n: (throughput, efficiency vs linear from smallest n)}.
+    """
+    from ..utils.profiling import timeit_jax
+    results = {}
+    base = None
+    for n in device_counts:
+        args = make_args(n)
+        timing = timeit_jax(step_fn, *args, iters=iters)
+        thr = n / timing.mean_s  # device-steps per second
+        if base is None:
+            base = thr / n
+        results[n] = (thr, thr / (base * n))
+    return results

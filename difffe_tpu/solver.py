@@ -67,12 +67,13 @@ def solve_poisson(
     f = jnp.asarray(f, dtype=mesh.dtype)
     method = _resolve_method(mesh, method)
 
-    if method == "tridiag":
+    if method in ("tridiag", "tridiag_pallas"):
         if mesh.dim != 1:
-            raise ValueError("method='tridiag' requires a 1D mesh")
+            raise ValueError(f"method={method!r} requires a 1D mesh")
         d, e = assemble_tridiag_1d(mesh, kappa)
         F = assemble_load(mesh, f)
-        return _tridiag.solve_poisson_tridiag(mesh, d, e, F)
+        backend = "pallas" if method == "tridiag_pallas" else "xla"
+        return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend)
 
     if method == "cg":
         F = assemble_load(mesh, f)
@@ -113,6 +114,25 @@ def solve_poisson_batched(
     f_batched = f.ndim >= 2
     if not (k_batched or f_batched):
         return solve_poisson(mesh, kappa, f, method=method, **kw)
+
+    method = _resolve_method(mesh, method)
+    if method in ("tridiag", "tridiag_pallas") and mesh.dim == 1:
+        # Fast path: assemble batched bands directly — no vmap, one fused
+        # batched PCR over the whole scenario block.
+        if k_batched and kappa.ndim == 1:
+            # (B,) scalar-per-scenario → (B, n_elements)
+            kappa = jnp.broadcast_to(kappa[:, None],
+                                     (kappa.shape[0], mesh.n_elements))
+        d, e = assemble_tridiag_1d(mesh, kappa)
+        F = assemble_load(mesh, f)
+        if d.ndim > F.ndim:
+            F = jnp.broadcast_to(F, d.shape[:-1] + F.shape[-1:])
+        elif F.ndim > d.ndim:
+            d = jnp.broadcast_to(d, F.shape[:-1] + d.shape[-1:])
+            e = jnp.broadcast_to(e, F.shape[:-1] + e.shape[-1:])
+        backend = "pallas" if method == "tridiag_pallas" else "xla"
+        return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend)
+
     fn = lambda k, ff: solve_poisson(mesh, k, ff, method=method, **kw)
     return jax.vmap(fn, in_axes=(0 if k_batched else None,
                                  0 if f_batched else None))(kappa, f)

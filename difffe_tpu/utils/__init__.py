@@ -1,0 +1,18 @@
+"""Utilities: checkpointing, profiling, configs, metrics, debug guards."""
+
+from .checkpoint import CheckpointManager
+from .config import BASELINE_CONFIGS, ScenarioConfig
+from .metrics import MetricsLogger
+from .profiling import Roofline, TimingResult, roofline, timeit_jax, trace
+
+__all__ = [
+    "CheckpointManager",
+    "BASELINE_CONFIGS",
+    "ScenarioConfig",
+    "MetricsLogger",
+    "Roofline",
+    "TimingResult",
+    "roofline",
+    "timeit_jax",
+    "trace",
+]

@@ -1,0 +1,105 @@
+"""Tracing / profiling harness — absent in the reference (SURVEY.md §5:
+no profiler import, no timers anywhere).
+
+* ``timeit_jax`` — wall-clock timing with proper ``block_until_ready``
+  synchronization and compile-warmup exclusion (the correct way to time XLA).
+* ``trace`` — context manager around ``jax.profiler`` emitting
+  Perfetto/XProf traces.
+* ``roofline`` — per-kernel speed-of-light estimate: achieved FLOP/s and
+  bytes/s against the chip's peaks, to judge how close a kernel is to the
+  HBM-bandwidth or MXU ceiling.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class TimingResult:
+    mean_s: float
+    min_s: float
+    iters: int
+
+    @property
+    def mean_ms(self) -> float:
+        return self.mean_s * 1e3
+
+    def throughput(self, items: int) -> float:
+        """items processed per second at the mean latency."""
+        return items / self.mean_s
+
+
+def timeit_jax(fn: Callable, *args, iters: int = 20, warmup: int = 2,
+               **kwargs) -> TimingResult:
+    """Time a JAX callable: warm up (compile), then time ``iters`` calls with
+    a single trailing synchronization (amortizes dispatch, like production
+    pipelining) and a per-call minimum from individual synced runs."""
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    mean = (time.perf_counter() - t0) / iters
+
+    best = float("inf")
+    for _ in range(min(iters, 5)):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return TimingResult(mean_s=mean, min_s=best, iters=iters)
+
+
+@contextlib.contextmanager
+def trace(logdir: str, with_memory: bool = True):
+    """Capture a profiler trace viewable in XProf/Perfetto/TensorBoard."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+# Peak numbers for roofline context (per chip, dense f32/bf16).
+CHIP_PEAKS = {
+    # name: (peak TFLOP/s bf16, peak TFLOP/s f32, HBM GB/s)
+    "tpu_v5e": (394.0, 197.0, 819.0),
+    "cpu": (0.1, 0.05, 50.0),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Roofline:
+    achieved_tflops: float
+    achieved_gbps: float
+    flops_fraction: float
+    bandwidth_fraction: float
+    bound: str  # 'compute' | 'memory'
+
+
+def roofline(timing: TimingResult, flops: float, bytes_moved: float,
+             chip: str = "tpu_v5e", dtype: str = "f32") -> Roofline:
+    """Judge a kernel against speed-of-light for the given chip."""
+    peak_bf16, peak_f32, peak_gbps = CHIP_PEAKS.get(chip, CHIP_PEAKS["tpu_v5e"])
+    peak_tflops = peak_bf16 if dtype == "bf16" else peak_f32
+    t = timing.min_s
+    achieved_tflops = flops / t / 1e12
+    achieved_gbps = bytes_moved / t / 1e9
+    ai = flops / max(bytes_moved, 1.0)  # arithmetic intensity
+    ridge = peak_tflops * 1e12 / (peak_gbps * 1e9)
+    return Roofline(
+        achieved_tflops=achieved_tflops,
+        achieved_gbps=achieved_gbps,
+        flops_fraction=achieved_tflops / peak_tflops,
+        bandwidth_fraction=achieved_gbps / peak_gbps,
+        bound="memory" if ai < ridge else "compute",
+    )

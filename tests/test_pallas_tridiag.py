@@ -1,0 +1,103 @@
+"""Pallas PCR kernel vs XLA reference (CPU interpret mode; same code path
+compiles natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.pallas.tridiag_kernel import tridiag_solve_pallas
+from difffe_tpu.ops.tridiag import tridiag_matvec, tridiag_solve
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+
+
+def random_spd_bands(key, B, n, dtype=jnp.float64):
+    k1, k2 = jax.random.split(key)
+    e = -jax.random.uniform(k1, (B, n - 1), dtype) - 0.1
+    bump = jax.random.uniform(k2, (B, n), dtype)
+    d = bump + 0.1
+    d = d.at[:, :-1].add(-e)
+    d = d.at[:, 1:].add(-e)      # strictly diagonally dominant SPD
+    return d, e
+
+
+class TestPallasKernel:
+    def test_matches_xla_batched(self):
+        key = jax.random.PRNGKey(0)
+        B, n = 5, 37
+        d, e = random_spd_bands(key, B, n)
+        F = jax.random.normal(jax.random.fold_in(key, 1), (B, n), d.dtype)
+        u_p = tridiag_solve_pallas(d, e, F)
+        u_x = tridiag_solve(d, e, F)
+        np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x),
+                                   atol=1e-10)
+
+    def test_residual_is_small(self):
+        key = jax.random.PRNGKey(2)
+        B, n = 3, 200
+        d, e = random_spd_bands(key, B, n)
+        F = jax.random.normal(jax.random.fold_in(key, 1), (B, n), d.dtype)
+        u = tridiag_solve_pallas(d, e, F)
+        r = tridiag_matvec(d, e, u) - F
+        assert float(jnp.max(jnp.abs(r))) < 1e-9
+
+    def test_unbatched_shape(self):
+        key = jax.random.PRNGKey(3)
+        d, e = random_spd_bands(key, 1, 17)
+        F = jnp.ones((17,), d.dtype)
+        u = tridiag_solve_pallas(d[0], e[0], F)
+        assert u.shape == (17,)
+
+    def test_gradients_match_xla(self):
+        key = jax.random.PRNGKey(4)
+        B, n = 2, 33
+        d, e = random_spd_bands(key, B, n)
+        F = jax.random.normal(jax.random.fold_in(key, 1), (B, n), d.dtype)
+
+        def loss_p(d, e, F):
+            return jnp.sum(tridiag_solve_pallas(d, e, F) ** 2)
+
+        def loss_x(d, e, F):
+            return jnp.sum(tridiag_solve(d, e, F) ** 2)
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(d, e, F)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(d, e, F)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-9)
+
+
+class TestSolverIntegration:
+    def test_method_tridiag_pallas_exact(self):
+        mesh = FEMesh.line(n_elements=20)
+        x = mesh.nodes[:, 0]
+        u = solve_poisson(mesh, 1.0, jnp.ones_like(x), method="tridiag_pallas")
+        np.testing.assert_allclose(np.asarray(u),
+                                   np.asarray(x * (1 - x) / 2), atol=1e-10)
+
+    def test_batched_fast_path_matches_vmap(self):
+        mesh = FEMesh.line(n_elements=32)
+        B = 6
+        kb = jnp.linspace(0.5, 2.0, B)
+        x = mesh.nodes[:, 0]
+        f = jnp.broadcast_to(jnp.sin(x) + 1.0, (B, mesh.n_nodes))
+        u_fast = solve_poisson_batched(mesh, kb, f, method="tridiag")
+        u_pallas = solve_poisson_batched(mesh, kb, f, method="tridiag_pallas")
+        u_dense = solve_poisson_batched(mesh, kb, f, method="dense")
+        np.testing.assert_allclose(np.asarray(u_fast), np.asarray(u_dense),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(u_pallas), np.asarray(u_dense),
+                                   atol=1e-10)
+
+    def test_batched_per_element_kappa(self):
+        mesh = FEMesh.line(n_elements=16)
+        B = 4
+        key = jax.random.PRNGKey(0)
+        kb = 1.0 + jax.random.uniform(key, (B, mesh.n_elements), mesh.dtype)
+        f = jnp.ones((B, mesh.n_nodes))
+        u_fast = solve_poisson_batched(mesh, kb, f, method="tridiag")
+        u_ref = jnp.stack([solve_poisson(mesh, kb[i], f[i], method="dense")
+                           for i in range(B)])
+        np.testing.assert_allclose(np.asarray(u_fast), np.asarray(u_ref),
+                                   atol=1e-10)
