@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native meshtool shared library next to this script.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -march=native -shared -fPIC -std=c++17 meshtool.cpp -o libmeshtool.so
+echo "built $(pwd)/libmeshtool.so"

@@ -62,12 +62,15 @@ def _pcg(A, b, Minv, x0, tol: float, maxiter: int):
     def body(state):
         x, r, p, rz, k = state
         Ap = A(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        # converged-safe divisions: past convergence p→0 and rz→0, which
+        # would make α, β = 0/0 NaN under a fixed trip count (tol=0 mode)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = Minv * r
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
         return x, r, p, rz_new, k + 1
 

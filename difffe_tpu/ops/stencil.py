@@ -1,0 +1,264 @@
+"""Structured-grid 2D operators: stencil-form stiffness for rectangle meshes.
+
+For meshes from ``FEMesh.rectangle`` (uniform grid, lower-left triangle
+split) the P1 stiffness matrix is a **7-point stencil** on the node grid —
+neighbors (0,±1), (±1,0), (+1,−1), (−1,+1) — with coefficients that are
+sums of adjacent-triangle local entries.  This module assembles those
+coefficient planes with shifted slice-adds (no scatter at all) and applies
+K·u as seven shifted multiply-adds: pure VPU work that XLA fuses into a
+single pass, vmaps over scenario batches, and shards over a DOF grid.
+
+This is the 2D production path (BASELINE configs 4-5): the unstructured
+gather/scatter path (ops/assembly.py:element_apply_2d) remains for general
+meshes; equality between the two is tested.
+
+Offsets are indexed as::
+
+    0: ( 0,  0)   1: ( 0, +1)   2: ( 0, −1)   3: (+1, 0)
+    4: (−1,  0)   5: (+1, −1)   6: (−1, +1)      (row=y, col=x)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+OFFSETS = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0), (1, -1), (-1, 1))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StructuredGrid:
+    """Static geometry of a uniform rectangle mesh (nx × ny quads)."""
+
+    nx: int = dataclasses.field(metadata=dict(static=True))
+    ny: int = dataclasses.field(metadata=dict(static=True))
+    hx: float = dataclasses.field(metadata=dict(static=True))
+    hy: float = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def node_shape(self) -> Tuple[int, int]:
+        return (self.ny + 1, self.nx + 1)
+
+    @classmethod
+    def unit(cls, nx: int, ny: int,
+             x_range=(0.0, 1.0), y_range=(0.0, 1.0)) -> "StructuredGrid":
+        return cls(nx=nx, ny=ny,
+                   hx=(x_range[1] - x_range[0]) / nx,
+                   hy=(y_range[1] - y_range[0]) / ny)
+
+
+def local_blocks(grid: StructuredGrid, kappa_lower, kappa_upper):
+    """Local 3×3 stiffness blocks for all lower/upper triangles.
+
+    kappa_lower/upper: (..., ny, nx) per-triangle κ.  Closed-form P1 blocks
+    on right triangles (same algebra as ops/assembly.py:local_stiffness_2d,
+    specialized to the uniform grid — verified equal in tests):
+
+      K_low = κ/(2 hx hy)·[[hx²+hy², −hy², −hx²], [−hy², hy², 0], [−hx², 0, hx²]]
+      K_up  = κ/(2 hx hy)·[[hx², −hx², 0], [−hx², hx²+hy², −hy²], [0, −hy², hy²]]
+
+    with vertex order lower=(a,b,d), upper=(b,c,d); a=(i,j), b=(i,j+1),
+    c=(i+1,j+1), d=(i+1,j).
+    """
+    hx2, hy2 = grid.hx ** 2, grid.hy ** 2
+    s = 1.0 / (2.0 * grid.hx * grid.hy)
+    kl = jnp.asarray(kappa_lower)
+    ku = jnp.asarray(kappa_upper)
+    Ml = jnp.array([[hx2 + hy2, -hy2, -hx2],
+                    [-hy2, hy2, 0.0],
+                    [-hx2, 0.0, hx2]], dtype=kl.dtype) * s
+    Mu = jnp.array([[hx2, -hx2, 0.0],
+                    [-hx2, hx2 + hy2, -hy2],
+                    [0.0, -hy2, hy2]], dtype=ku.dtype) * s
+    return kl[..., None, None] * Ml, ku[..., None, None] * Mu
+
+
+def stencil_coefficients(grid: StructuredGrid, kappa_lower, kappa_upper):
+    """Assemble the 7 coefficient planes C (..., 7, ny+1, nx+1).
+
+    Built entirely with shifted slice-adds: each of the 18 (triangle-vertex
+    pair) contribution patterns lands on a static sub-rectangle of the node
+    grid — no scatter, deterministic, vmap/shard-friendly.
+    """
+    Kl, Ku = local_blocks(grid, kappa_lower, kappa_upper)
+    lead = Kl.shape[:-4]
+    ny, nx = grid.ny, grid.nx
+    shape = lead + (7, ny + 1, nx + 1)
+    C = jnp.zeros(shape, dtype=Kl.dtype)
+
+    # vertex grid positions (row, col) relative to quad (i, j):
+    # lower tri (a,b,d): a=(i,j)   b=(i,j+1)  d=(i+1,j)
+    # upper tri (b,c,d): b=(i,j+1) c=(i+1,j+1) d=(i+1,j)
+    LOWER = ((0, 0), (0, 1), (1, 0))
+    UPPER = ((0, 1), (1, 1), (1, 0))
+    OFF_IDX = {off: k for k, off in enumerate(OFFSETS)}
+
+    def add(C, K, verts):
+        for p, (pr, pc) in enumerate(verts):
+            for q, (qr, qc) in enumerate(verts):
+                off = (qr - pr, qc - pc)
+                k = OFF_IDX[off]
+                # contribution K[..., i, j, p, q] lands at node (i+pr, j+pc)
+                C = C.at[..., k, pr:pr + ny, pc:pc + nx].add(K[..., p, q])
+        return C
+
+    C = add(C, Kl, LOWER)
+    C = add(C, Ku, UPPER)
+    return C
+
+
+def _shift2d(u, dr, dc):
+    """v[r, c] = u[r+dr, c+dc] with zero fill (last two axes)."""
+    if dr > 0:
+        u = jnp.pad(u[..., dr:, :], [(0, 0)] * (u.ndim - 2) + [(0, dr), (0, 0)])
+    elif dr < 0:
+        u = jnp.pad(u[..., :dr, :], [(0, 0)] * (u.ndim - 2) + [(-dr, 0), (0, 0)])
+    if dc > 0:
+        u = jnp.pad(u[..., :, dc:], [(0, 0)] * (u.ndim - 2) + [(0, 0), (0, dc)])
+    elif dc < 0:
+        u = jnp.pad(u[..., :, :dc], [(0, 0)] * (u.ndim - 2) + [(0, 0), (-dc, 0)])
+    return u
+
+
+def stencil_apply(C: jax.Array, u: jax.Array) -> jax.Array:
+    """(K·u) on the node grid: Σ_k C[k] ⊙ shift(u, offset_k).
+
+    C: (..., 7, ny+1, nx+1); u: (..., ny+1, nx+1).
+    """
+    out = C[..., 0, :, :] * u
+    for k, (dr, dc) in enumerate(OFFSETS[1:], start=1):
+        out = out + C[..., k, :, :] * _shift2d(u, dr, dc)
+    return out
+
+
+# --------------------------------------------------------------------------
+# BC-eliminated CG solve on the grid (boundary = Dirichlet, as in
+# FEMesh.rectangle); custom VJP via the implicit function theorem.
+# --------------------------------------------------------------------------
+
+def boundary_mask_grid(grid: StructuredGrid, dtype=jnp.float32) -> jax.Array:
+    """1 on boundary nodes, 0 inside — matches FEMesh.rectangle's BC set."""
+    ny1, nx1 = grid.node_shape
+    m = jnp.zeros((ny1, nx1), dtype)
+    m = m.at[0, :].set(1.0).at[-1, :].set(1.0)
+    m = m.at[:, 0].set(1.0).at[:, -1].set(1.0)
+    return m
+
+
+def load_grid(grid: StructuredGrid, f: jax.Array) -> jax.Array:
+    """Centroid-rule load on the node grid (matches assemble_load for the
+    rectangle mesh — each node collects area/3·centroid-mean from its
+    adjacent triangles)."""
+    area3 = (0.5 * grid.hx * grid.hy) / 3.0
+    fl = (f[..., :-1, :-1] + f[..., :-1, 1:] + f[..., 1:, :-1]) / 3.0  # lower
+    fu = (f[..., :-1, 1:] + f[..., 1:, 1:] + f[..., 1:, :-1]) / 3.0   # upper
+    F = jnp.zeros_like(f)
+    # lower (a,b,d) = (i,j),(i,j+1),(i+1,j)
+    F = F.at[..., :-1, :-1].add(area3 * fl)
+    F = F.at[..., :-1, 1:].add(area3 * fl)
+    F = F.at[..., 1:, :-1].add(area3 * fl)
+    # upper (b,c,d) = (i,j+1),(i+1,j+1),(i+1,j)
+    F = F.at[..., :-1, 1:].add(area3 * fu)
+    F = F.at[..., 1:, 1:].add(area3 * fu)
+    F = F.at[..., 1:, :-1].add(area3 * fu)
+    return F
+
+
+def _operator(C, m, v):
+    p = 1.0 - m
+    return m * v + p * stencil_apply(C, p * v)
+
+
+def _pcg_grid(C, m, b, Minv, x0, tol, maxiter):
+    r = b - _operator(C, m, x0)
+    z = Minv * r
+    p_ = z
+    rz = jnp.sum(r * z)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(s):
+        _, r, _, rz, k = s
+        return (k < maxiter) & (jnp.sum(r * r) > tol2)
+
+    def body(s):
+        x, r, p_, rz, k = s
+        Ap = _operator(C, m, p_)
+        # converged-safe divisions (see ops/cg.py): avoid 0/0 when running
+        # a fixed trip count past convergence
+        pAp = jnp.sum(p_ * Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p_
+        r = r - alpha * Ap
+        z = Minv * r
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p_ = z + beta * p_
+        return x, r, p_, rz_new, k + 1
+
+    x, *_ = jax.lax.while_loop(cond, body, (x0, r, p_, rz, 0))
+    return x
+
+
+def _solve_impl(grid, kappa_lu, f, g, tol, maxiter):
+    kl, ku = kappa_lu
+    C = stencil_coefficients(grid, kl, ku)
+    m = boundary_mask_grid(grid, f.dtype)
+    p = 1.0 - m
+    F = load_grid(grid, f)
+    b = m * g + p * (F - stencil_apply(C, m * g))
+    diagA = m + p * C[..., 0, :, :]
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    maxiter = maxiter if maxiter is not None else (grid.nx + 1) * (grid.ny + 1)
+    return _pcg_grid(C, m, b, Minv, jnp.broadcast_to(m * g, b.shape),
+                     tol, maxiter)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+def solve_poisson_structured(grid: StructuredGrid, kappa_lu, f: jax.Array,
+                             g: jax.Array, tol: float = 0.0,
+                             maxiter: Optional[int] = None) -> jax.Array:
+    """Solve −∇·(κ∇u)=f on the structured grid, Dirichlet boundary = g.
+
+    kappa_lu: tuple (κ_lower (ny,nx), κ_upper (ny,nx)) per-triangle fields;
+    f, g: (ny+1, nx+1) node grids.  Returns u on the node grid.
+    Differentiable wrt κ, f, g via one adjoint CG solve (IFT), like
+    ops/cg.py.
+    """
+    return _solve_impl(grid, kappa_lu, f, g, tol, maxiter)
+
+
+def _fwd(grid, kappa_lu, f, g, tol, maxiter):
+    u = _solve_impl(grid, kappa_lu, f, g, tol, maxiter)
+    return u, (kappa_lu, f, g, u)
+
+
+def _bwd(grid, tol, maxiter, res, gbar):
+    kappa_lu, f, g, u = res
+    kl, ku = kappa_lu
+    C = stencil_coefficients(grid, kl, ku)
+    m = boundary_mask_grid(grid, f.dtype)
+    diagA = m + (1.0 - m) * C[..., 0, :, :]
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    maxit = maxiter if maxiter is not None else (grid.nx + 1) * (grid.ny + 1)
+    lam = _pcg_grid(C, m, gbar, Minv, jnp.zeros_like(gbar), tol, maxit)
+
+    def residual(kappa_lu_, f_, g_):
+        kl_, ku_ = kappa_lu_
+        C_ = stencil_coefficients(grid, kl_, ku_)
+        p = 1.0 - m
+        F_ = load_grid(grid, f_)
+        b_ = m * g_ + p * (F_ - stencil_apply(C_, m * g_))
+        u_fixed = jax.lax.stop_gradient(u)
+        Au = m * u_fixed + p * stencil_apply(C_, p * u_fixed)
+        return b_ - Au
+
+    _, vjp = jax.vjp(residual, kappa_lu, f, g)
+    return vjp(lam)
+
+
+solve_poisson_structured.defvjp(_fwd, _bwd)

@@ -1,0 +1,121 @@
+"""Native meshtool tests — run against whichever backend loads (native C++
+preferred, numpy fallback otherwise) and cross-check the two when the
+native library is present."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.native import (
+    backend,
+    boundary_nodes_tri,
+    build_adjacency,
+    graph_bandwidth,
+    rcm_order,
+    reorder_mesh,
+    tri_quality,
+)
+from difffe_tpu.solver import solve_poisson
+
+
+def test_backend_reports():
+    assert backend() in ("native", "numpy")
+
+
+class TestAdjacency:
+    def test_line_adjacency(self):
+        mesh = FEMesh.line(n_elements=4)
+        row_ptr, col_idx = build_adjacency(np.asarray(mesh.elements), 5)
+        assert row_ptr[-1] == 8  # chain: 2 ends ×1 + 3 middle ×2
+        assert set(col_idx[row_ptr[1]:row_ptr[2]]) == {0, 2}
+
+    def test_rectangle_adjacency_symmetric(self):
+        mesh = FEMesh.rectangle(nx=3, ny=3)
+        row_ptr, col_idx = build_adjacency(np.asarray(mesh.elements),
+                                           mesh.n_nodes)
+        pairs = set()
+        for v in range(mesh.n_nodes):
+            for w in col_idx[row_ptr[v]:row_ptr[v + 1]]:
+                pairs.add((v, int(w)))
+        for (v, w) in pairs:
+            assert (w, v) in pairs
+
+
+class TestRCM:
+    def test_reduces_bandwidth_on_shuffled_mesh(self):
+        rng = np.random.default_rng(0)
+        mesh = FEMesh.rectangle(nx=8, ny=8)
+        n = mesh.n_nodes
+        # shuffle node numbering to destroy locality
+        perm = rng.permutation(n).astype(np.int32)
+        inv = np.zeros_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int32)
+        shuffled = inv[np.asarray(mesh.elements)]
+        row_ptr, col_idx = build_adjacency(shuffled, n)
+        bw0 = graph_bandwidth(row_ptr, col_idx)
+        p = rcm_order(row_ptr, col_idx)
+        bw1 = graph_bandwidth(row_ptr, col_idx, perm=p)
+        assert bw1 < bw0
+        assert bw1 <= 12  # near the grid's natural bandwidth (~10)
+
+    def test_perm_is_permutation(self):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        row_ptr, col_idx = build_adjacency(np.asarray(mesh.elements),
+                                           mesh.n_nodes)
+        p = rcm_order(row_ptr, col_idx)
+        assert sorted(p.tolist()) == list(range(mesh.n_nodes))
+
+
+class TestBoundary:
+    def test_matches_mesh_bc(self):
+        mesh = FEMesh.rectangle(nx=5, ny=4)
+        mask = boundary_nodes_tri(np.asarray(mesh.elements), mesh.n_nodes)
+        np.testing.assert_array_equal(mask,
+                                      np.asarray(mesh.bc_mask) > 0.5)
+
+
+class TestQuality:
+    def test_unit_grid_quality(self):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        q = tri_quality(np.asarray(mesh.nodes), np.asarray(mesh.elements))
+        np.testing.assert_allclose(q[:, 0], 0.5 * 0.25 * 0.25, atol=1e-12)
+        np.testing.assert_allclose(q[:, 1], np.pi / 4, atol=1e-12)
+        np.testing.assert_allclose(q[:, 2], np.sqrt(2), atol=1e-12)
+
+
+class TestReorderMesh:
+    def test_solution_invariant_under_reordering(self):
+        mesh = FEMesh.rectangle(nx=6, ny=6)
+        re_mesh, perm = reorder_mesh(mesh)
+        f = jnp.asarray(np.sin(np.arange(mesh.n_nodes)), mesh.dtype)
+        u = solve_poisson(mesh, 1.0, f, method="dense")
+        u_re = solve_poisson(re_mesh, 1.0, f[jnp.asarray(perm)],
+                             method="dense")
+        np.testing.assert_allclose(np.asarray(u_re),
+                                   np.asarray(u)[perm], atol=1e-10)
+
+
+@pytest.mark.skipif(backend() != "native",
+                    reason="native library not built")
+def test_native_matches_numpy_fallback():
+    """When the C++ library is present, cross-check against pure numpy."""
+    from difffe_tpu.native import meshtool as mt
+    mesh = FEMesh.rectangle(nx=5, ny=3)
+    elements = np.asarray(mesh.elements)
+    rp_n, ci_n = mt.build_adjacency(elements, mesh.n_nodes)
+    lib, mt._lib = mt._lib, None
+    tried = mt._tried
+    mt._tried = True  # force numpy fallback
+    try:
+        rp_f, ci_f = mt.build_adjacency(elements, mesh.n_nodes)
+        np.testing.assert_array_equal(rp_n, rp_f)
+        np.testing.assert_array_equal(np.sort(ci_n), np.sort(ci_f))
+        mask_f = mt.boundary_nodes_tri(elements, mesh.n_nodes)
+        q_f = mt.tri_quality(np.asarray(mesh.nodes), elements)
+    finally:
+        mt._lib, mt._tried = lib, tried
+    mask_n = mt.boundary_nodes_tri(elements, mesh.n_nodes)
+    q_n = mt.tri_quality(np.asarray(mesh.nodes), elements)
+    np.testing.assert_array_equal(mask_n, mask_f)
+    np.testing.assert_allclose(q_n, q_f, atol=1e-12)

@@ -1,0 +1,171 @@
+"""Structured-grid stencil path vs the unstructured reference path.
+
+The 7-point stencil operator must match dense assembly exactly on rectangle
+meshes, for uniform and per-triangle κ, including gradients."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import (
+    assemble_load,
+    assemble_stiffness_dense,
+    stiffness_apply,
+)
+from difffe_tpu.ops.stencil import (
+    StructuredGrid,
+    boundary_mask_grid,
+    load_grid,
+    solve_poisson_structured,
+    stencil_apply,
+    stencil_coefficients,
+)
+from difffe_tpu.solver import solve_poisson
+
+
+def tri_kappas(key, ny, nx, dtype):
+    k1, k2 = jax.random.split(key)
+    kl = 1.0 + jax.random.uniform(k1, (ny, nx), dtype)
+    ku = 1.0 + jax.random.uniform(k2, (ny, nx), dtype)
+    return kl, ku
+
+
+def interleave(kl, ku):
+    """(ny,nx)+(ny,nx) → (2·ny·nx,) in FEMesh.rectangle element order."""
+    return jnp.stack([kl.reshape(-1), ku.reshape(-1)], axis=1).reshape(-1)
+
+
+class TestStencilOperator:
+    @pytest.mark.parametrize("ny,nx", [(3, 4), (5, 5), (8, 2)])
+    def test_apply_matches_unstructured(self, ny, nx):
+        mesh = FEMesh.rectangle(nx=nx, ny=ny)
+        grid = StructuredGrid.unit(nx, ny)
+        key = jax.random.PRNGKey(0)
+        kl, ku = tri_kappas(key, ny, nx, mesh.dtype)
+        ke = interleave(kl, ku)
+        u = jax.random.normal(jax.random.fold_in(key, 5),
+                              (mesh.n_nodes,), mesh.dtype)
+        ref = stiffness_apply(mesh, ke, u)
+        C = stencil_coefficients(grid, kl, ku)
+        got = stencil_apply(C, u.reshape(ny + 1, nx + 1)).reshape(-1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-12)
+
+    def test_coefficients_match_dense_rows(self):
+        nx = ny = 4
+        mesh = FEMesh.rectangle(nx=nx, ny=ny)
+        grid = StructuredGrid.unit(nx, ny)
+        kl = jnp.full((ny, nx), 2.0, mesh.dtype)
+        ku = jnp.full((ny, nx), 2.0, mesh.dtype)
+        K = np.asarray(assemble_stiffness_dense(mesh, interleave(kl, ku)))
+        C = np.asarray(stencil_coefficients(grid, kl, ku))
+        from difffe_tpu.ops.stencil import OFFSETS
+        for r in range(ny + 1):
+            for c in range(nx + 1):
+                node = r * (nx + 1) + c
+                for k, (dr, dc) in enumerate(OFFSETS):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr <= ny and 0 <= cc <= nx:
+                        other = rr * (nx + 1) + cc
+                        assert abs(C[k, r, c] - K[node, other]) < 1e-12
+
+    def test_load_matches_assemble_load(self):
+        nx, ny = 5, 3
+        mesh = FEMesh.rectangle(nx=nx, ny=ny)
+        grid = StructuredGrid.unit(nx, ny)
+        key = jax.random.PRNGKey(1)
+        f = jax.random.normal(key, (mesh.n_nodes,), mesh.dtype)
+        ref = assemble_load(mesh, f)
+        got = load_grid(grid, f.reshape(ny + 1, nx + 1)).reshape(-1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-13)
+
+
+class TestStructuredSolve:
+    def test_matches_unstructured_solve(self):
+        nx = ny = 8
+        mesh = FEMesh.rectangle(nx=nx, ny=ny)
+        grid = StructuredGrid.unit(nx, ny)
+        key = jax.random.PRNGKey(2)
+        kl, ku = tri_kappas(key, ny, nx, mesh.dtype)
+        x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+        f = jnp.sin(math.pi * x) * jnp.cos(y)
+        u_ref = solve_poisson(mesh, interleave(kl, ku), f, method="dense")
+        g = jnp.zeros(grid.node_shape, mesh.dtype)
+        u = solve_poisson_structured(grid, (kl, ku),
+                                     f.reshape(grid.node_shape), g)
+        np.testing.assert_allclose(np.asarray(u).reshape(-1),
+                                   np.asarray(u_ref), atol=1e-9)
+
+    def test_manufactured_convergence(self):
+        errors = []
+        for n in [8, 16, 32]:
+            grid = StructuredGrid.unit(n, n)
+            ny1, nx1 = grid.node_shape
+            xs = jnp.linspace(0, 1, nx1)
+            ys = jnp.linspace(0, 1, ny1)
+            X, Y = jnp.meshgrid(xs, ys)
+            f = 2 * math.pi ** 2 * jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+            kl = jnp.ones((n, n), f.dtype)
+            u = solve_poisson_structured(grid, (kl, kl), f,
+                                         jnp.zeros_like(f))
+            exact = jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+            errors.append(float(jnp.max(jnp.abs(u - exact))))
+        assert errors[0] / errors[1] > 3.0
+        assert errors[1] / errors[2] > 3.0
+
+    def test_gradient_matches_unstructured(self):
+        nx = ny = 6
+        mesh = FEMesh.rectangle(nx=nx, ny=ny)
+        grid = StructuredGrid.unit(nx, ny)
+        f = jnp.ones(mesh.n_nodes, mesh.dtype)
+        fg = f.reshape(grid.node_shape)
+        g0 = jnp.zeros(grid.node_shape, mesh.dtype)
+        kl0 = jnp.full((ny, nx), 1.5, mesh.dtype)
+
+        def loss_s(kl):
+            u = solve_poisson_structured(grid, (kl, kl0), fg, g0)
+            return jnp.sum(u ** 2)
+
+        def loss_u(kl):
+            ke = interleave(kl, kl0)
+            u = solve_poisson(mesh, ke, f, method="dense")
+            return jnp.sum(u ** 2)
+
+        gs = np.asarray(jax.grad(loss_s)(kl0))
+        gu = np.asarray(jax.grad(loss_u)(kl0))
+        np.testing.assert_allclose(gs, gu, rtol=1e-6, atol=1e-9)
+
+    def test_nonzero_boundary(self):
+        # u = 1 + x + y is harmonic → reproduced exactly with g = trace
+        n = 8
+        grid = StructuredGrid.unit(n, n)
+        xs = jnp.linspace(0, 1, n + 1)
+        X, Y = jnp.meshgrid(xs, xs)
+        exact = 1.0 + X + Y
+        m = boundary_mask_grid(grid, exact.dtype)
+        g = m * exact
+        kl = jnp.ones((n, n), exact.dtype)
+        u = solve_poisson_structured(grid, (kl, kl), jnp.zeros_like(exact), g)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(exact),
+                                   atol=1e-9)
+
+    def test_batched_vmap(self):
+        n = 6
+        grid = StructuredGrid.unit(n, n)
+        B = 4
+        key = jax.random.PRNGKey(3)
+        kl = 1.0 + jax.random.uniform(key, (B, n, n), jnp.float64)
+        f = jnp.ones((B, n + 1, n + 1), jnp.float64)
+        g = jnp.zeros((n + 1, n + 1), jnp.float64)
+        solve = jax.vmap(
+            lambda kl_, f_: solve_poisson_structured(grid, (kl_, kl_), f_, g))
+        u = solve(kl, f)
+        assert u.shape == (B, n + 1, n + 1)
+        u0 = solve_poisson_structured(grid, (kl[0], kl[0]), f[0], g)
+        np.testing.assert_allclose(np.asarray(u[0]), np.asarray(u0),
+                                   atol=1e-10)
