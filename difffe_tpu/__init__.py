@@ -25,6 +25,9 @@ __all__ = [
     "default_dtype",
     "PhysicsLoss",
     "NeuralPDE",
+    "recover_kappa_scalar",
+    "recover_kappa_field",
+    "train_collocation",
 ]
 
 
@@ -36,4 +39,13 @@ def __getattr__(name):
     if name == "NeuralPDE":
         from .models.neural import NeuralPDE
         return NeuralPDE
+    if name == "recover_kappa_scalar":
+        from .inverse import recover_kappa_scalar
+        return recover_kappa_scalar
+    if name == "recover_kappa_field":
+        from .inverse import recover_kappa_field
+        return recover_kappa_field
+    if name == "train_collocation":
+        from .models.collocation import train_collocation
+        return train_collocation
     raise AttributeError(f"module 'difffe_tpu' has no attribute {name!r}")

@@ -1,0 +1,150 @@
+"""Inverse problems: κ recovery to sub-1e-6 fidelity (BASELINE gate).
+
+The reference's demo recovers a scalar κ with 200 Adam steps to ~4-decimal
+accuracy (/root/reference/examples/poisson_1d_demo.py:102-112).  The north
+star demands **<1e-6 error vs the reference optimum** (BASELINE.md).  Adam
+alone stalls near its step-size floor, so the production recovery here is
+Adam warmup + Gauss-Newton polish: for the scalar (or low-dimensional) κ
+case a handful of Newton steps on the least-squares objective converge
+quadratically to machine-level optima — each step reuses the same
+custom-VJP solves (jax.grad / jax.hessian of the batched objective).
+
+Everything is jitted and scenario-batched: B independent recoveries run as
+one program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .mesh import FEMesh
+from .solver import solve_poisson_batched
+
+
+def recover_kappa_scalar(
+    mesh: FEMesh,
+    f: jax.Array,
+    u_data: jax.Array,
+    kappa0: Optional[jax.Array] = None,
+    adam_steps: int = 100,
+    newton_steps: int = 6,
+    lr: float = 0.1,
+    method: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Recover per-scenario scalar κ from observed solutions.
+
+    f, u_data: (B, n_nodes); returns (κ (B,), per-scenario final losses).
+    Parameterized as log κ for positivity.  Adam warmup gets near the basin;
+    per-scenario scalar Newton (1D second derivative, safeguarded) polishes
+    to <1e-6 (quadratic convergence on a smooth least-squares objective).
+    """
+    B = f.shape[0]
+    dtype = mesh.dtype
+    log_k = jnp.zeros((B,), dtype) if kappa0 is None \
+        else jnp.log(jnp.asarray(kappa0, dtype))
+
+    def per_scenario_loss(log_k):
+        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method=method)
+        return jnp.mean((u - u_data) ** 2, axis=-1)      # (B,)
+
+    total_loss = lambda lk: jnp.sum(per_scenario_loss(lk))
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(log_k):
+        state = opt.init(log_k)
+
+        def adam_step(carry, _):
+            lk, st = carry
+            g = jax.grad(total_loss)(lk)
+            upd, st = opt.update(g, st)
+            return (optax.apply_updates(lk, upd), st), None
+
+        (log_k, _), _ = jax.lax.scan(adam_step, (log_k, state), None,
+                                     length=adam_steps)
+
+        def newton_step(lk, _):
+            # the loss separates over scenarios, so the Hessian of
+            # total_loss is diagonal and H·1 extracts exactly the
+            # per-scenario second derivatives.  Reverse-over-reverse HVP
+            # (forward mode is unavailable through custom_vjp solves).
+            g = jax.grad(total_loss)(lk)
+            hdiag = jax.grad(
+                lambda v: jnp.vdot(jax.grad(total_loss)(v),
+                                   jnp.ones_like(v)))(lk)
+            step = jnp.where(hdiag > 0,
+                             g / jnp.where(hdiag > 0, hdiag, 1.0),
+                             jnp.sign(g) * 0.1)
+            step = jnp.clip(step, -0.5, 0.5)              # safeguard
+            return lk - step, None
+
+        log_k, _ = jax.lax.scan(newton_step, log_k, None,
+                                length=newton_steps)
+        return log_k, per_scenario_loss(log_k)
+
+    log_k, losses = run(log_k)
+    return jnp.exp(log_k), losses
+
+
+def recover_kappa_field(
+    mesh: FEMesh,
+    f: jax.Array,
+    u_data: jax.Array,
+    adam_steps: int = 500,
+    lr: float = 0.05,
+    method: str = "auto",
+    reg: float = 0.0,
+    share_field: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Recover per-element κ fields: f, u_data (B, n); returns
+    (κ, loss history (adam_steps,)).
+
+    ``share_field=False`` (default): each scenario recovers its own field
+    from its own forcing — note a single (f, u) pair determines κ only up
+    to an unobserved boundary-flux constant, so independent recoveries fit
+    the data without matching a ground-truth field pointwise.
+    ``share_field=True``: ONE field (n_elements,) must explain ALL B
+    forcings jointly — the well-posed multi-experiment inversion.
+
+    Optional Tikhonov smoothing ``reg·Σ(Δlog κ)²`` regularizes the
+    under-determined directions.
+    """
+    B = f.shape[0]
+    dtype = mesh.dtype
+    shape = (mesh.n_elements,) if share_field else (B, mesh.n_elements)
+    log_k = jnp.zeros(shape, dtype)
+
+    def loss_fn(log_k):
+        kappa = jnp.exp(log_k)
+        if share_field:
+            kappa = jnp.broadcast_to(kappa, (B, mesh.n_elements))
+        u = solve_poisson_batched(mesh, kappa, f, method=method)
+        data = jnp.mean((u - u_data) ** 2)
+        if reg > 0:
+            smooth = jnp.mean(jnp.diff(log_k, axis=-1) ** 2)
+            return data + reg * smooth
+        return data
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(log_k):
+        state = opt.init(log_k)
+
+        def step(carry, _):
+            lk, st = carry
+            loss, g = jax.value_and_grad(loss_fn)(lk)
+            upd, st = opt.update(g, st)
+            return (optax.apply_updates(lk, upd), st), loss
+
+        (log_k, _), hist = jax.lax.scan(step, (log_k, state), None,
+                                        length=adam_steps)
+        return log_k, hist
+
+    log_k, hist = run(log_k)
+    return jnp.exp(log_k), hist

@@ -1,0 +1,13 @@
+"""Models: neural PDE surrogates (node-based and mesh-free collocation)."""
+
+from .collocation import train_collocation
+from .neural import NeuralPDE, apply_mlp, boundary_mask, init_mlp, train_pde
+
+__all__ = [
+    "train_collocation",
+    "NeuralPDE",
+    "apply_mlp",
+    "boundary_mask",
+    "init_mlp",
+    "train_pde",
+]

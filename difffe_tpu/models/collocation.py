@@ -1,0 +1,134 @@
+"""Mesh-free collocation (PINN) training — true autodiff residuals.
+
+The reference's "variational" loss docstring claims automatic
+differentiation but implements a finite-difference Laplacian on mesh nodes
+(/root/reference/diffhe/loss.py:8 vs :85-105).  This module supplies the
+real thing: the strong-form residual −κΔu − f evaluated by nested autodiff
+of the network at arbitrary collocation points, so training is mesh-free
+and the residual is exact for the network's own derivatives.
+
+u(x) = φ(x)·net(x) with an **analytic** lifting mask φ (smooth and exact
+zero on the boundary), so Dirichlet BCs hold at every point, not just
+nodes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..mesh import FEMesh
+from .neural import Params, apply_mlp, init_mlp
+
+
+def smooth_mask_fn(mesh: FEMesh) -> Callable[[jax.Array], jax.Array]:
+    """Analytic boundary-vanishing mask for the mesh's bounding box.
+
+    1D: φ(x) = (x−a)(b−x)/max;  2D: product over both axes — smooth
+    everywhere (unlike the reference's binary node indicator,
+    neural.py:95-101).
+    """
+    lo = jnp.min(mesh.nodes, axis=0)
+    hi = jnp.max(mesh.nodes, axis=0)
+    norm = jnp.prod(((hi - lo) / 2.0) ** 2)
+
+    def phi(x: jax.Array) -> jax.Array:
+        # x: (dim,) — scalar output
+        terms = (x - lo) * (hi - x)
+        return jnp.prod(terms) / norm
+
+    return phi
+
+
+def network_solution(params: Params, phi, x: jax.Array) -> jax.Array:
+    """u(x) = φ(x)·net(x) for a single point x (dim,)."""
+    return phi(x) * apply_mlp(params, x)
+
+
+def laplacian(params: Params, phi, x: jax.Array) -> jax.Array:
+    """Δu at a single point via the Hessian trace (nested autodiff)."""
+    H = jax.hessian(lambda p: network_solution(params, phi, p))(x)
+    return jnp.trace(H)
+
+
+def collocation_residual(params: Params, phi, xs: jax.Array,
+                         forcing_fn, kappa) -> jax.Array:
+    """Strong-form residuals −κΔu(x_i) − f(x_i) at points xs (N, dim)."""
+    lap = jax.vmap(lambda x: laplacian(params, phi, x))(xs)
+    f_args = xs[:, 0] if xs.shape[1] == 1 else xs
+    f = forcing_fn(f_args)
+    return -jnp.asarray(kappa) * lap - f
+
+
+def sample_collocation_points(mesh: FEMesh, key: jax.Array,
+                              n_points: int) -> jax.Array:
+    """Uniform interior samples of the mesh bounding box (N, dim)."""
+    lo = jnp.min(mesh.nodes, axis=0)
+    hi = jnp.max(mesh.nodes, axis=0)
+    u = jax.random.uniform(key, (n_points, mesh.dim), mesh.dtype)
+    return lo + u * (hi - lo)
+
+
+def train_collocation(
+    mesh: FEMesh,
+    forcing_fn,
+    kappa=1.0,
+    hidden_dim: int = 64,
+    n_layers: int = 3,
+    n_points: int = 256,
+    n_epochs: int = 2000,
+    lr: float = 1e-3,
+    key: Optional[jax.Array] = None,
+    resample_every: int = 100,
+) -> Tuple[Params, Callable[[jax.Array], jax.Array], jax.Array]:
+    """Train a PINN on the strong-form residual; returns (params, u_fn,
+    losses).  Collocation points are resampled every ``resample_every``
+    epochs (importance-free uniform refresh) — the whole schedule runs as
+    one jitted scan.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_init, k_pts = jax.random.split(key)
+    params = init_mlp(k_init, mesh.dim, hidden_dim, n_layers,
+                      dtype=mesh.dtype)
+    phi = smooth_mask_fn(mesh)
+    opt = optax.adam(lr)
+
+    n_blocks = max(1, n_epochs // resample_every)
+
+    def loss_fn(params, xs):
+        r = collocation_residual(params, phi, xs, forcing_fn, kappa)
+        return jnp.mean(r ** 2)
+
+    @jax.jit
+    def run(params, key):
+        state = opt.init(params)
+
+        def block(carry, kb):
+            params, st = carry
+            xs = sample_collocation_points(mesh, kb, n_points)
+
+            def step(carry, _):
+                p, st = carry
+                loss, g = jax.value_and_grad(loss_fn)(p, xs)
+                upd, st = opt.update(g, st)
+                return (optax.apply_updates(p, upd), st), loss
+
+            (params, st), losses = jax.lax.scan(
+                step, (params, st), None, length=resample_every)
+            return (params, st), losses
+
+        keys = jax.random.split(key, n_blocks)
+        (params, _), losses = jax.lax.scan(block, (params, state), keys)
+        return params, losses.reshape(-1)
+
+    params, losses = run(params, k_pts)
+
+    def u_fn(x_pts: jax.Array) -> jax.Array:
+        """Evaluate the trained solution at (N, dim) points."""
+        return jax.vmap(lambda x: network_solution(params, phi, x))(x_pts)
+
+    return params, u_fn, losses

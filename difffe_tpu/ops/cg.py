@@ -115,6 +115,46 @@ def _cg_impl(mesh, kappa, F, tol, maxiter):
                 jnp.broadcast_to(x0, b.shape), tol, maxiter)
 
 
+def cg_diagnostics(mesh: FEMesh, kappa, F: jax.Array,
+                   tol: float = 0.0, maxiter: Optional[int] = None):
+    """Non-differentiable convergence report for the CG solve: returns
+    (u, iterations_used, final_relative_residual).  Feeds the north-star
+    metric table ('PCG iterations', SURVEY.md §5 observability)."""
+    maxiter = maxiter if maxiter is not None else mesh.n_nodes
+    b = _rhs(mesh, kappa, F)
+    Minv = _jacobi(mesh, kappa)
+    x0 = jnp.broadcast_to(mesh.bc_mask * mesh.bc_values, b.shape)
+    A = lambda v: _operator(mesh, kappa, v)
+
+    r = b - A(x0)
+    z = Minv * r
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm2 = jnp.maximum(jnp.vdot(b, b), 1e-30)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * bnorm2
+
+    def cond(state):
+        _, r, _, rz, k = state
+        return (k < maxiter) & (jnp.vdot(r, r) > tol2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = A(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv * r
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, iters = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    rel_res = jnp.sqrt(jnp.vdot(r, r) / bnorm2)
+    return x, iters, rel_res
+
+
 def _cg_fwd(mesh, kappa, F, tol, maxiter):
     u = _cg_impl(mesh, kappa, F, tol, maxiter)
     return u, (mesh, kappa, F, u)

@@ -1,12 +1,16 @@
 """Utilities: checkpointing, profiling, configs, metrics, debug guards."""
 
 from .checkpoint import CheckpointManager
+from .debug import check_deterministic, golden_compare, nan_guard
 from .config import BASELINE_CONFIGS, ScenarioConfig
 from .metrics import MetricsLogger
 from .profiling import Roofline, TimingResult, roofline, timeit_jax, trace
 
 __all__ = [
     "CheckpointManager",
+    "check_deterministic",
+    "golden_compare",
+    "nan_guard",
     "BASELINE_CONFIGS",
     "ScenarioConfig",
     "MetricsLogger",

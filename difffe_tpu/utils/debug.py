@@ -1,0 +1,66 @@
+"""Numerical-debug guards — the domain's analogue of race detection /
+sanitizers (SURVEY.md §5: reference has none; single-threaded torch).
+
+* ``nan_guard`` — context manager enabling ``jax_debug_nans`` so the first
+  NaN-producing op raises with a traceback instead of propagating.
+* ``check_deterministic`` — runs a function twice and asserts bitwise-equal
+  outputs (scatter-add determinism of the assembly kernels).
+* ``golden_compare`` — runs a function at f64 (golden) and its production
+  dtype and reports the worst relative deviation, implementing the
+  precision policy of SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def nan_guard():
+    """Raise at the first NaN-producing primitive inside the context."""
+    old = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", old)
+
+
+def check_deterministic(fn: Callable, *args, runs: int = 2) -> bool:
+    """True iff repeated executions produce bitwise-identical outputs."""
+    ref = jax.device_get(fn(*args))
+    ref_leaves = jax.tree.leaves(ref)
+    for _ in range(runs - 1):
+        out = jax.device_get(fn(*args))
+        for a, b in zip(ref_leaves, jax.tree.leaves(out)):
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                return False
+    return True
+
+
+def golden_compare(fn: Callable, *args, production_dtype=jnp.float32):
+    """Max relative deviation between f64 golden and production execution.
+
+    ``fn`` must accept arrays and be dtype-polymorphic; args are cast.
+    Requires x64 to be enabled for the golden leg.
+    """
+    def cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
+    golden = jax.device_get(fn(*cast(args, jnp.float64)))
+    prod = jax.device_get(fn(*cast(args, production_dtype)))
+    worst = 0.0
+    for a, b in zip(jax.tree.leaves(golden), jax.tree.leaves(prod)):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        denom = np.maximum(np.abs(a), 1e-30)
+        worst = max(worst, float(np.max(np.abs(a - b) / denom)))
+    return worst

@@ -1,0 +1,84 @@
+"""Mesh-free collocation PINN tests (true autodiff residuals)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.models.collocation import (
+    collocation_residual,
+    laplacian,
+    network_solution,
+    sample_collocation_points,
+    smooth_mask_fn,
+    train_collocation,
+)
+from difffe_tpu.models.neural import init_mlp
+
+
+class TestResidualMachinery:
+    def test_mask_zero_on_boundary_1d(self):
+        mesh = FEMesh.line(n_elements=10)
+        phi = smooth_mask_fn(mesh)
+        assert abs(float(phi(jnp.array([0.0])))) < 1e-15
+        assert abs(float(phi(jnp.array([1.0])))) < 1e-15
+        assert float(phi(jnp.array([0.5]))) == 1.0
+
+    def test_mask_zero_on_boundary_2d(self):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        phi = smooth_mask_fn(mesh)
+        assert abs(float(phi(jnp.array([0.0, 0.3])))) < 1e-15
+        assert abs(float(phi(jnp.array([0.7, 1.0])))) < 1e-15
+        assert float(phi(jnp.array([0.5, 0.5]))) == 1.0
+
+    def test_laplacian_exact_for_known_function(self):
+        """Autodiff Laplacian is exact (not FD): check against manual
+        second derivative of φ·net for a tiny network."""
+        mesh = FEMesh.line(n_elements=4)
+        phi = smooth_mask_fn(mesh)
+        params = init_mlp(jax.random.PRNGKey(0), 1, 4, 1, mesh.dtype)
+        x0 = jnp.array([0.3], mesh.dtype)
+        lap = float(laplacian(params, phi, x0))
+        # compare with high-order central differences
+        h = 1e-5
+        u = lambda s: float(network_solution(params, phi,
+                                             jnp.array([s], mesh.dtype)))
+        fd = (u(0.3 + h) - 2 * u(0.3) + u(0.3 - h)) / h ** 2
+        assert abs(lap - fd) < 1e-5
+
+    def test_points_in_domain(self):
+        mesh = FEMesh.rectangle(nx=3, ny=3)
+        pts = sample_collocation_points(mesh, jax.random.PRNGKey(0), 100)
+        assert pts.shape == (100, 2)
+        assert float(pts.min()) >= 0.0 and float(pts.max()) <= 1.0
+
+
+class TestTraining:
+    def test_1d_poisson_convergence(self):
+        """−u″ = π²sin(πx) → u = sin(πx); PINN matches to ~1e-3."""
+        mesh = FEMesh.line(n_elements=32)
+        f_fn = lambda x: (math.pi ** 2) * jnp.sin(math.pi * x)
+        params, u_fn, losses = train_collocation(
+            mesh, f_fn, hidden_dim=32, n_layers=2, n_points=64,
+            n_epochs=1500, lr=3e-3, key=jax.random.PRNGKey(42),
+            resample_every=250)
+        assert losses[-1] < losses[0] * 1e-2
+        xs = jnp.linspace(0.05, 0.95, 19)[:, None]
+        u = u_fn(xs)
+        exact = jnp.sin(math.pi * xs[:, 0])
+        err = float(jnp.max(jnp.abs(u - exact)))
+        assert err < 0.02, f"PINN error {err:.4f}"
+
+    def test_residual_small_after_training(self):
+        mesh = FEMesh.line(n_elements=16)
+        f_fn = lambda x: jnp.ones_like(x) * 2.0
+        params, u_fn, _ = train_collocation(
+            mesh, f_fn, hidden_dim=24, n_layers=2, n_points=48,
+            n_epochs=1200, lr=3e-3, key=jax.random.PRNGKey(1),
+            resample_every=200)
+        phi = smooth_mask_fn(mesh)
+        xs = jnp.linspace(0.1, 0.9, 33)[:, None]
+        r = collocation_residual(params, phi, xs, f_fn, 1.0)
+        assert float(jnp.max(jnp.abs(r))) < 0.1

@@ -1,0 +1,57 @@
+"""Debug-guard tests: determinism, golden-path comparison, CG diagnostics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.cg import cg_diagnostics
+from difffe_tpu.ops.assembly import assemble_load, assemble_stiffness_dense
+from difffe_tpu.solver import solve_poisson
+from difffe_tpu.utils import check_deterministic, golden_compare, nan_guard
+
+
+def test_assembly_deterministic():
+    """Scatter-add assembly must be run-to-run bitwise deterministic."""
+    mesh = FEMesh.rectangle(nx=8, ny=8)
+    fn = jax.jit(lambda k: assemble_stiffness_dense(mesh, k))
+    ke = jnp.linspace(0.5, 2.0, mesh.n_elements)
+    assert check_deterministic(fn, ke, runs=3)
+
+
+def test_solve_deterministic():
+    mesh = FEMesh.line(n_elements=64)
+    f = jnp.sin(mesh.nodes[:, 0] * 3)
+    fn = jax.jit(lambda k: solve_poisson(mesh, k, f, method="tridiag"))
+    assert check_deterministic(fn, jnp.asarray(1.3), runs=3)
+
+
+def test_golden_compare_f32_vs_f64():
+    """f32 production path stays within ~1e-5 of the f64 golden path for a
+    well-conditioned solve (precision policy, SURVEY.md §7)."""
+    def run(kappa, f):
+        mesh = FEMesh.line(n_elements=32, dtype=f.dtype)
+        return solve_poisson(mesh, kappa, f, method="tridiag")
+
+    f = jnp.sin(jnp.linspace(0, 3, 33))
+    worst = golden_compare(run, jnp.asarray(1.0), f,
+                           production_dtype=jnp.float32)
+    assert worst < 1e-4, f"f32 deviation {worst:.2e}"
+
+
+def test_nan_guard_raises():
+    with pytest.raises(FloatingPointError):
+        with nan_guard():
+            jnp.log(jnp.asarray(-1.0)) * 2.0
+
+
+def test_cg_diagnostics():
+    mesh = FEMesh.rectangle(nx=8, ny=8)
+    f = jnp.ones(mesh.n_nodes)
+    F = assemble_load(mesh, f)
+    u, iters, rel_res = cg_diagnostics(mesh, 1.0, F, tol=1e-10, maxiter=500)
+    assert int(iters) < 100            # Jacobi-PCG converges well under n
+    assert float(rel_res) < 1e-10
+    u_ref = solve_poisson(mesh, 1.0, f, method="dense")
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)

@@ -1,0 +1,88 @@
+"""κ-recovery fidelity gates (BASELINE: <1e-6 vs truth) and field inversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difffe_tpu.inverse import recover_kappa_field, recover_kappa_scalar
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.solver import solve_poisson_batched
+
+
+class TestScalarRecovery:
+    def test_sub_1e6_gate(self):
+        """Adam warmup + Newton polish reaches <1e-6 κ error (the reference's
+        demo stops at ~1e-4 after 200 Adam steps)."""
+        mesh = FEMesh.line(n_elements=30)
+        B = 8
+        key = jax.random.PRNGKey(0)
+        k_true = 1.0 + 2.0 * jax.random.uniform(key, (B,), mesh.dtype)
+        x = mesh.nodes[:, 0]
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f)
+        k_rec, losses = recover_kappa_scalar(mesh, f, u_data,
+                                             adam_steps=100, newton_steps=8)
+        err = float(jnp.max(jnp.abs(k_rec - k_true)))
+        assert err < 1e-6, f"kappa error {err:.2e}"
+
+    def test_reference_demo_setup(self):
+        """True κ=2 recovered to machine-level, exceeding the reference's
+        printed 2.0000 (poisson_1d_demo.py:112)."""
+        mesh = FEMesh.line(n_elements=30)
+        x = mesh.nodes[:, 0]
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (1, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, jnp.asarray([2.0]), f)
+        k_rec, _ = recover_kappa_scalar(mesh, f, u_data,
+                                        adam_steps=100, newton_steps=8)
+        assert abs(float(k_rec[0]) - 2.0) < 1e-8
+
+    def test_2d_recovery(self):
+        mesh = FEMesh.rectangle(nx=6, ny=6)
+        B = 4
+        key = jax.random.PRNGKey(1)
+        k_true = 1.0 + jax.random.uniform(key, (B,), mesh.dtype)
+        f = jnp.ones((B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method="dense")
+        k_rec, _ = recover_kappa_scalar(mesh, f, u_data, method="dense",
+                                        adam_steps=80, newton_steps=8)
+        err = float(jnp.max(jnp.abs(k_rec - k_true)))
+        assert err < 1e-6, f"kappa error {err:.2e}"
+
+
+class TestFieldRecovery:
+    def test_independent_fields_fit_data(self):
+        """Per-scenario field recovery drives the data misfit down (the
+        field itself is only identifiable up to an unobserved boundary-flux
+        constant — see recover_kappa_field docstring)."""
+        mesh = FEMesh.line(n_elements=24)
+        x = mesh.nodes[:, 0]
+        ne = mesh.n_elements
+        k_true = jnp.where(jnp.arange(ne) < ne // 2, 1.0, 2.0
+                           ).astype(mesh.dtype)
+        f = jnp.stack([jnp.sin(jnp.pi * x) + 1.0,
+                       jnp.cos(2 * jnp.pi * x) + 1.5])
+        u_data = solve_poisson_batched(mesh, jnp.stack([k_true, k_true]), f)
+        k_rec, hist = recover_kappa_field(mesh, f, u_data,
+                                          adam_steps=800, lr=0.05)
+        assert float(hist[-1]) < float(hist[0]) * 1e-3
+
+    def test_shared_field_multi_experiment(self):
+        """Joint inversion: one piecewise κ field explaining several
+        forcings — the well-posed formulation recovers the true field."""
+        mesh = FEMesh.line(n_elements=24)
+        x = mesh.nodes[:, 0]
+        ne = mesh.n_elements
+        k_true = jnp.where(jnp.arange(ne) < ne // 2, 1.0, 2.0
+                           ).astype(mesh.dtype)
+        f = jnp.stack([jnp.sin(jnp.pi * x) + 1.0,
+                       jnp.cos(2 * jnp.pi * x) + 1.5,
+                       jnp.exp(x),
+                       4.0 * x * (1 - x)])
+        B = f.shape[0]
+        u_data = solve_poisson_batched(
+            mesh, jnp.broadcast_to(k_true, (B, ne)), f)
+        k_rec, hist = recover_kappa_field(mesh, f, u_data,
+                                          adam_steps=3000, lr=0.03,
+                                          share_field=True, reg=1e-8)
+        rel = float(jnp.max(jnp.abs(k_rec - k_true) / k_true))
+        assert rel < 0.05, f"field relative error {rel:.3f}"
