@@ -12,6 +12,7 @@ from .mpc import (
     MPCConfig,
     gaussian_actuators,
     make_planner,
+    make_planner_batched,
     receding_horizon,
     tracking_cost,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "MPCConfig",
     "gaussian_actuators",
     "make_planner",
+    "make_planner_batched",
     "receding_horizon",
     "tracking_cost",
     "TopOptConfig",

@@ -102,6 +102,49 @@ def make_planner(
     return plan
 
 
+def make_planner_batched(
+    mesh: FEMesh,
+    kappa,
+    actuators: jax.Array,
+    cfg: MPCConfig,
+):
+    """Scenario-batched planner: (u0 (B,n), targets (B,H,n), q_init
+    (B,H,c)) → (q_opt (B,H,c), losses (B, plan_iters)).
+
+    B independent horizon optimizations — per-scenario κ supported — run as
+    one vmapped+jitted program (BASELINE config 3: '4096 scenarios').
+    """
+    opt = optax.adam(cfg.lr)
+    kappa = jnp.asarray(kappa, dtype=mesh.dtype)
+
+    def cost_of(q, u0, target, k):
+        f_seq = q @ actuators
+        traj = rollout(mesh, k, u0, f_seq, cfg.dt, method="tridiag")
+        return tracking_cost(mesh, traj, target, q, cfg)
+
+    def plan_one(u0, target, q_init, k):
+        state = opt.init(q_init)
+
+        def step(carry, _):
+            q, st = carry
+            loss, g = jax.value_and_grad(cost_of)(q, u0, target, k)
+            updates, st = opt.update(g, st)
+            return (optax.apply_updates(q, updates), st), loss
+
+        (q, _), losses = jax.lax.scan(step, (q_init, state), None,
+                                      length=cfg.plan_iters)
+        return q, losses
+
+    k_axis = 0 if kappa.ndim >= 1 else None
+
+    @jax.jit
+    def plan(u0_b, target_b, q_init_b):
+        return jax.vmap(plan_one, in_axes=(0, 0, 0, k_axis))(
+            u0_b, target_b, q_init_b, kappa)
+
+    return plan
+
+
 def receding_horizon(
     mesh: FEMesh,
     kappa,

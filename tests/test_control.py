@@ -159,3 +159,35 @@ class TestTopOpt:
         # smoothing: variance drops, values stay in [0,1]
         assert float(jnp.var(rf)) < float(jnp.var(rho))
         assert float(jnp.min(rf)) >= 0.0 and float(jnp.max(rf)) <= 1.0
+
+
+class TestBatchedMPC:
+    def test_batched_planner_per_scenario_kappa(self):
+        """B independent horizon plans in one program, per-scenario kappa;
+        each matches the single-scenario planner."""
+        from difffe_tpu.control import make_planner, make_planner_batched
+        mesh = FEMesh.line(n_elements=24)
+        x = mesh.nodes[:, 0]
+        B, H, C = 4, 8, 3
+        cfg = MPCConfig(horizon=H, dt=5e-3, lr=0.3, plan_iters=25,
+                        control_penalty=1e-6)
+        act = gaussian_actuators(mesh, [0.3, 0.5, 0.7], width=0.12)
+        kb = jnp.linspace(0.8, 1.6, B)
+        amps = jnp.linspace(0.1, 0.4, B)
+        targets = amps[:, None, None] * jnp.broadcast_to(
+            jnp.sin(jnp.pi * x), (B, H, mesh.n_nodes))
+        u0 = jnp.zeros((B, mesh.n_nodes))
+        q0 = jnp.zeros((B, H, C))
+
+        plan_b = make_planner_batched(mesh, kb, act, cfg)
+        qb, losses_b = plan_b(u0, targets, q0)
+        assert qb.shape == (B, H, C)
+        # every scenario's loss decreased
+        assert (np.asarray(losses_b[:, -1]) <
+                0.5 * np.asarray(losses_b[:, 0])).all()
+
+        # scenario 2 matches a single-scenario plan with the same kappa
+        plan_1 = make_planner(mesh, float(kb[2]), act, targets[2], cfg)
+        q1, _ = plan_1(u0[2], q0[2])
+        np.testing.assert_allclose(np.asarray(qb[2]), np.asarray(q1),
+                                   atol=1e-10)

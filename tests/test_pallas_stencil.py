@@ -1,0 +1,75 @@
+"""Whole-CG Pallas kernel vs the XLA structured solve."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.ops.pallas.stencil_cg_kernel import solve_structured_pallas
+from difffe_tpu.ops.stencil import StructuredGrid, solve_poisson_structured
+
+
+def problem(n, B=None, key=0, dtype=jnp.float64):
+    grid = StructuredGrid.unit(n, n)
+    xs = jnp.linspace(0, 1, n + 1, dtype=dtype)
+    X, Y = jnp.meshgrid(xs, xs)
+    f = (2 * math.pi ** 2 * jnp.sin(math.pi * X)
+         * jnp.sin(math.pi * Y)).astype(dtype)
+    k = jax.random.PRNGKey(key)
+    if B is None:
+        kl = 1.0 + jax.random.uniform(k, (n, n), dtype)
+    else:
+        kl = 1.0 + jax.random.uniform(k, (B, n, n), dtype)
+        f = jnp.broadcast_to(f, (B, n + 1, n + 1))
+    g = jnp.zeros((n + 1, n + 1), dtype)
+    return grid, kl, f, g
+
+
+class TestWholeCGKernel:
+    def test_matches_xla_unbatched(self):
+        grid, kl, f, g = problem(12)
+        u_ref = solve_poisson_structured(grid, (kl, kl), f, g)
+        u_pal = solve_structured_pallas(grid, (kl, kl), f, g, 200)
+        np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
+                                   atol=1e-9)
+
+    def test_matches_xla_batched(self):
+        grid, kl, f, g = problem(8, B=5)
+        u_pal = solve_structured_pallas(grid, (kl, kl), f, g, 150)
+        for i in range(5):
+            u_ref = solve_poisson_structured(grid, (kl[i], kl[i]), f[i], g)
+            np.testing.assert_allclose(np.asarray(u_pal[i]),
+                                       np.asarray(u_ref), atol=1e-9)
+
+    def test_manufactured_accuracy(self):
+        grid, _, f, g = problem(16)
+        kl = jnp.ones((16, 16), jnp.float64)
+        u = solve_structured_pallas(grid, (kl, kl), f, g, 300)
+        xs = jnp.linspace(0, 1, 17)
+        X, Y = jnp.meshgrid(xs, xs)
+        exact = jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+        assert float(jnp.max(jnp.abs(u - exact))) < 2e-2
+
+    def test_gradient_matches_xla(self):
+        grid, kl, f, g = problem(8)
+
+        def loss_pal(kl_):
+            u = solve_structured_pallas(grid, (kl_, kl), f, g, 200)
+            return jnp.sum(u ** 2)
+
+        def loss_xla(kl_):
+            u = solve_poisson_structured(grid, (kl_, kl), f, g)
+            return jnp.sum(u ** 2)
+
+        gp = np.asarray(jax.grad(loss_pal)(kl))
+        gx = np.asarray(jax.grad(loss_xla)(kl))
+        np.testing.assert_allclose(gp, gx, rtol=1e-6, atol=1e-9)
+
+    def test_fixed_iters_past_convergence_no_nan(self):
+        """Fixed trip count far beyond convergence stays NaN-free."""
+        grid, _, f, g = problem(6)
+        kl = jnp.ones((6, 6), jnp.float64)
+        u = solve_structured_pallas(grid, (kl, kl), f, g, 500)
+        assert np.isfinite(np.asarray(u)).all()
