@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
 N_ELEMENTS = 30
-BATCH = 8192
+BATCH = 32768  # dispatch-latency amortization: 8192 leaves the chip idle
 TIMED_ITERS = 30
 
 

@@ -1,0 +1,111 @@
+"""Full metric table for the north-star targets (BASELINE.md).
+
+Unlike bench.py (ONE JSON line, run by the driver), this emits the complete
+evidence table as JSON lines — throughput per config, accuracy gates, CG
+iteration counts — and writes BENCH_local.json.
+
+Run on TPU:  python bench_full.py
+"""
+
+import json
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+    from difffe_tpu.inverse import recover_kappa_scalar
+    from difffe_tpu.ops.stencil import StructuredGrid, solve_poisson_structured
+    from difffe_tpu.ops.cg import cg_diagnostics
+    from difffe_tpu.ops.assembly import assemble_load
+
+    results = {"platform": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+
+    # ---- config 1/2: 1D batched fwd+adjoint throughput -------------------
+    for n_elem, B in [(30, 8192), (128, 8192)]:
+        mesh = FEMesh.line(n_elements=n_elem, dtype=jnp.float32)
+        x = mesh.nodes[:, 0]
+        key = jax.random.PRNGKey(0)
+        k_true = 1.0 + jax.random.uniform(key, (B,), jnp.float32) * 2.0
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag")
+
+        def loss_fn(log_k):
+            u = solve_poisson_batched(mesh, jnp.exp(log_k), f,
+                                      method="tridiag")
+            return jnp.mean((u - u_data) ** 2)
+
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        dt = timed(step, jnp.zeros((B,), jnp.float32))
+        results[f"1d_grad_solves_per_s_n{n_elem}_B{B}"] = round(B / dt, 1)
+
+    # ---- config 4: 2D structured batched fwd+adjoint ---------------------
+    n, B = 64, 64
+    grid = StructuredGrid.unit(n, n)
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, xs)
+    f2 = (2 * math.pi ** 2 * jnp.sin(math.pi * X)
+          * jnp.sin(math.pi * Y)).astype(jnp.float32)
+    f2B = jnp.broadcast_to(f2, (B, n + 1, n + 1))
+    klB = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (B, n, n),
+                                   jnp.float32)
+    g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+    solve2 = jax.jit(jax.vmap(lambda kl, ff: solve_poisson_structured(
+        grid, (kl, kl), ff, g0, 0.0, 128)))
+    u2_data = solve2(klB, f2B)
+
+    def loss2(kl):
+        return jnp.mean((solve2(kl, f2B) - u2_data) ** 2)
+
+    step2 = jax.jit(jax.value_and_grad(loss2))
+    dt2 = timed(step2, klB, iters=10)
+    results[f"2d_grad_solves_per_s_{n}x{n}_B{B}"] = round(B / dt2, 1)
+
+    # ---- accuracy gates (f64 golden path on CPU semantics) ---------------
+    with jax.enable_x64():
+        mesh64 = FEMesh.line(n_elements=20, dtype=jnp.float64)
+        x64v = mesh64.nodes[:, 0]
+        u = solve_poisson(mesh64, 1.0, jnp.ones_like(x64v))
+        results["fem_exactness_f64"] = float(
+            jnp.max(jnp.abs(u - x64v * (1 - x64v) / 2)))
+
+        mesh30 = FEMesh.line(n_elements=30, dtype=jnp.float64)
+        x30 = mesh30.nodes[:, 0]
+        fB = jnp.broadcast_to(jnp.sin(jnp.pi * x30) + 1.0,
+                              (4, mesh30.n_nodes))
+        kt = jnp.asarray([0.7, 1.3, 2.0, 2.9], jnp.float64)
+        ud = solve_poisson_batched(mesh30, kt, fB)
+        kr, _ = recover_kappa_scalar(mesh30, fB, ud, adam_steps=100,
+                                     newton_steps=8)
+        results["kappa_recovery_max_error"] = float(
+            jnp.max(jnp.abs(kr - kt)))
+
+    # ---- PCG iteration count (observability metric) ----------------------
+    mesh2d = FEMesh.rectangle(nx=32, ny=32, dtype=jnp.float32)
+    F = assemble_load(mesh2d, jnp.ones(mesh2d.n_nodes, jnp.float32))
+    _, iters, rel = cg_diagnostics(mesh2d, 1.0, F, tol=1e-6, maxiter=2000)
+    results["pcg_iters_32x32_tol1e-6"] = int(iters)
+    results["pcg_rel_residual"] = float(rel)
+
+    print(json.dumps(results, indent=2))
+    with open("BENCH_local.json", "w") as fh:
+        json.dump(results, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Explicit halo-exchange stencil apply: domain decomposition over ICI.
+
+GSPMD shards DOF axes automatically (parallel/sharding.py), but the survey's
+layer-6 mandate (SURVEY.md §7, §2b 'halo exchange of element-boundary
+contributions') calls for the explicit SPMD form — the domain-decomposition
+analogue of ring attention's neighbor pass: shard the 2D node grid by rows
+across the ``dof`` mesh axis, exchange one boundary row with each neighbor
+via ``jax.lax.ppermute``, and apply the 7-point stencil locally.
+
+Used as the matvec inside a distributed CG where the node grid is too large
+for one chip's HBM; numerically identical to the single-device apply
+(tested on the virtual 8-device mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.stencil import OFFSETS
+
+
+def _exchange_halos(u_loc: jax.Array, axis: str) -> Tuple[jax.Array, jax.Array]:
+    """Return (row_above, row_below) for this shard's block of rows.
+
+    row_above = last row of the previous shard (zeros on shard 0);
+    row_below = first row of the next shard (zeros on the last shard).
+    One ppermute each way — nearest-neighbor traffic only, rides ICI.
+    """
+    n = jax.lax.axis_size(axis)
+    fwd = [(i, (i + 1) % n) for i in range(n)]      # send downward
+    bwd = [(i, (i - 1) % n) for i in range(n)]      # send upward
+    idx = jax.lax.axis_index(axis)
+
+    row_above = jax.lax.ppermute(u_loc[-1:, :], axis, fwd)
+    row_below = jax.lax.ppermute(u_loc[:1, :], axis, bwd)
+    # zero the wrapped-around halos at the physical boundaries
+    row_above = jnp.where(idx == 0, 0.0, row_above)
+    row_below = jnp.where(idx == n - 1, 0.0, row_below)
+    return row_above, row_below
+
+
+def _local_stencil_apply(C_loc: jax.Array, u_loc: jax.Array,
+                         axis: str) -> jax.Array:
+    """Apply the 7-point stencil to this shard's rows with halo exchange.
+
+    C_loc: (7, H_local, W); u_loc: (H_local, W).
+    """
+    row_above, row_below = _exchange_halos(u_loc, axis)
+    u_ext = jnp.concatenate([row_above, u_loc, row_below], axis=0)
+    # u_ext[1 + r] corresponds to local row r; offsets index into u_ext
+    H = u_loc.shape[0]
+    W = u_loc.shape[1]
+    out = jnp.zeros_like(u_loc)
+    for k, (dr, dc) in enumerate(OFFSETS):
+        shifted = jax.lax.dynamic_slice_in_dim(u_ext, 1 + dr, H, axis=0)
+        if dc > 0:
+            shifted = jnp.pad(shifted[:, dc:], ((0, 0), (0, dc)))
+        elif dc < 0:
+            shifted = jnp.pad(shifted[:, :dc], ((0, 0), (-dc, 0)))
+        out = out + C_loc[k] * shifted
+    return out
+
+
+def make_halo_apply(device_mesh: Mesh, axis: str = "dof"):
+    """Build a sharded K·u over a row-decomposed node grid.
+
+    Returns ``apply(C, u) → K·u`` where C: (7, H, W), u: (H, W) are global
+    arrays sharded by rows over ``axis``.  H must divide the axis size.
+    """
+    sharded = jax.shard_map(
+        partial(_local_stencil_apply, axis=axis),
+        mesh=device_mesh,
+        in_specs=(P(None, axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    return sharded
+
+
+def halo_cg_solve(device_mesh: Mesh, C: jax.Array, m: jax.Array,
+                  b: jax.Array, maxiter: int, axis: str = "dof"):
+    """Distributed Jacobi-PCG with the halo-exchange matvec.
+
+    C: (7, H, W) stencil planes (BC-free), m: (H, W) Dirichlet mask,
+    b: (H, W) eliminated RHS.  All row-sharded over ``axis``; reductions
+    are global sums XLA lowers to psums over ICI.
+    """
+    apply_K = make_halo_apply(device_mesh, axis)
+    p_mask = 1.0 - m
+
+    def A(v):
+        return m * v + p_mask * apply_K(C, p_mask * v)
+
+    diagA = m + p_mask * C[0]
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+
+    x = jnp.zeros_like(b)
+    r = b - A(x)
+    z = Minv * r
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = A(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv * r
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        return x, r, z + beta * p, rz_new, k + 1
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < maxiter) & (jnp.sum(r * r) > 0)
+
+    x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x

@@ -1,0 +1,81 @@
+"""Halo-exchange domain decomposition on the virtual 8-device mesh:
+sharded-vs-unsharded numerical equivalence (SURVEY.md §4 multi-node tests)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from difffe_tpu.ops.stencil import (
+    StructuredGrid,
+    boundary_mask_grid,
+    load_grid,
+    solve_poisson_structured,
+    stencil_apply,
+    stencil_coefficients,
+)
+from difffe_tpu.parallel import make_device_mesh
+from difffe_tpu.parallel.halo import halo_cg_solve, make_halo_apply
+
+
+@pytest.fixture(scope="module")
+def dof_mesh():
+    # all 8 devices on the dof axis (row decomposition)
+    return make_device_mesh(mesh_shape=(1, 8), axis_names=("dp", "dof"))
+
+
+def make_problem(n, key=0):
+    grid = StructuredGrid.unit(n, n - 1)          # ny+1 = n rows
+    ny, nx = grid.ny, grid.nx
+    k = jax.random.PRNGKey(key)
+    kl = 1.0 + jax.random.uniform(k, (ny, nx), jnp.float64)
+    C = stencil_coefficients(grid, kl, kl)
+    return grid, C
+
+
+class TestHaloApply:
+    def test_matches_unsharded(self, dof_mesh):
+        # 16 rows over 8 devices → 2 rows/shard
+        grid, C = make_problem(16)
+        H, W = grid.node_shape
+        key = jax.random.PRNGKey(1)
+        u = jax.random.normal(key, (H, W), jnp.float64)
+        ref = stencil_apply(C, u)
+        got = make_halo_apply(dof_mesh)(C, u)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-12)
+
+    def test_single_row_per_shard(self, dof_mesh):
+        # 8 rows over 8 devices → 1 row/shard (halo is the whole shard)
+        grid, C = make_problem(8)
+        H, W = grid.node_shape
+        u = jnp.arange(H * W, dtype=jnp.float64).reshape(H, W) / (H * W)
+        ref = stencil_apply(C, u)
+        got = make_halo_apply(dof_mesh)(C, u)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-12)
+
+
+class TestHaloCG:
+    def test_solve_matches_single_device(self, dof_mesh):
+        grid, C = make_problem(16)
+        H, W = grid.node_shape
+        xs = jnp.linspace(0, 1, W, dtype=jnp.float64)
+        ys = jnp.linspace(0, 1, H, dtype=jnp.float64)
+        X, Y = jnp.meshgrid(xs, ys)
+        f = 2 * math.pi ** 2 * jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+        m = boundary_mask_grid(grid, jnp.float64)
+        F = load_grid(grid, f)
+        b = (1.0 - m) * F                      # zero Dirichlet
+        kl = jnp.ones((grid.ny, grid.nx), jnp.float64)
+        C1 = stencil_coefficients(grid, kl, kl)
+
+        u_ref = solve_poisson_structured(grid, (kl, kl), f,
+                                         jnp.zeros_like(f))
+        u = jax.jit(lambda C_, m_, b_: halo_cg_solve(
+            dof_mesh, C_, m_, b_, maxiter=H * W))(C1, m, b)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-9)
