@@ -109,6 +109,40 @@ def bench_scenario(cfg, log=print):
     from .solver import solve_poisson_batched
     from .utils.profiling import timeit_jax
 
+    if cfg.dim == 2:
+        # config-4 shape: batched per-triangle κ-field inversion on the
+        # structured-grid production path (fixed-iteration PCG)
+        from .ops.stencil import StructuredGrid, solve_poisson_structured
+        if cfg.dtype == "f64":
+            jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64 if cfg.dtype == "f64" else jnp.float32
+        n = cfg.n_elements
+        B = cfg.batch
+        grid = StructuredGrid.unit(n, n)
+        key = jax.random.PRNGKey(cfg.seed)
+        xs = jnp.linspace(0, 1, n + 1, dtype=dtype)
+        X, Y = jnp.meshgrid(xs, xs)
+        f = (jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)).astype(dtype)
+        fB = jnp.broadcast_to(f, (B, n + 1, n + 1))
+        klB = 1.0 + jax.random.uniform(key, (B, n, n), dtype)
+        g0 = jnp.zeros((n + 1, n + 1), dtype)
+        iters = cfg.extra.get("cg_iters", 128)
+        solve = jax.vmap(lambda kl, ff: solve_poisson_structured(
+            grid, (kl, kl), ff, g0, 0.0, iters))
+        u_data = jax.jit(solve)(klB, fB)
+
+        def loss_fn(kl):
+            return jnp.mean((solve(kl, fB) - u_data) ** 2)
+
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        timing = timeit_jax(step, klB, iters=10)
+        result = {"scenario": cfg.name, "batch": B, "grid": f"{n}x{n}",
+                  "cg_iters": iters,
+                  "grad_solves_per_s": round(timing.throughput(B), 1),
+                  "step_ms": round(timing.mean_ms, 3)}
+        log(json.dumps(result))
+        return result
+
     mesh = _mesh_for(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     B = cfg.batch

@@ -144,6 +144,58 @@ def train_pde(
     return run(params)
 
 
+def train_pde_batched(
+    keys: jax.Array,
+    mesh: FEMesh,
+    f_batch: jax.Array,
+    n_epochs: int = 2000,
+    lr: float = 1e-3,
+    hidden_dim: int = 32,
+    n_layers: int = 3,
+    kappa=1.0,
+) -> Tuple[Params, jax.Array]:
+    """Scenario-batched surrogate training (BASELINE config 5: 'NeuralPDE
+    residual training, 1e4+ scenarios').
+
+    Trains B independent networks — one per forcing scenario f_batch[b],
+    initialized from keys[b] — as ONE vmapped+jitted program: every epoch
+    runs B forward/backward passes fused across the batch.  Per-scenario κ
+    supported via a (B,...) kappa.  Returns (stacked params pytree with
+    leading B axis, losses (B, n_epochs)).
+    """
+    B = f_batch.shape[0]
+    mask = boundary_mask(mesh)
+    kappa = jnp.asarray(kappa, dtype=mesh.dtype)
+
+    # FEM targets for all scenarios in one batched solve
+    from ..solver import solve_poisson_batched
+    u_fem = jax.lax.stop_gradient(
+        solve_poisson_batched(mesh, kappa, f_batch))
+
+    opt = optax.adam(lr)
+
+    def train_one(key, u_target):
+        params = init_mlp(key, mesh.dim, hidden_dim, n_layers,
+                          dtype=mesh.dtype)
+        state = opt.init(params)
+
+        def loss_fn(p):
+            u = neural_pde_forward(p, mesh, mask)
+            return jnp.mean((u - u_target) ** 2)
+
+        def step(carry, _):
+            p, st = carry
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            updates, st = opt.update(g, st)
+            return (optax.apply_updates(p, updates), st), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, state), None,
+                                           length=n_epochs)
+        return params, losses
+
+    return jax.jit(jax.vmap(train_one))(keys, u_fem)
+
+
 # --------------------------------------------------------------------------
 # Ergonomic wrapper (reference class shape)
 # --------------------------------------------------------------------------

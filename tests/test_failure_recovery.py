@@ -1,0 +1,102 @@
+"""Failure injection: kill a training process mid-run, resume from the
+latest checkpoint, and assert the trajectory matches the uninterrupted run
+(SURVEY.md §5 'fault injection = kill a host ... and assert resume
+reproduces the trajectory')."""
+
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import numpy as np
+import pytest
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, "@REPO@")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import optax
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.solver import solve_poisson
+    from difffe_tpu.utils import CheckpointManager
+
+    ckdir, total_steps, slow = sys.argv[1], int(sys.argv[2]), sys.argv[3] == "1"
+    mesh = FEMesh.line(n_elements=16)
+    f = jnp.ones(mesh.n_nodes)
+    u_data = solve_poisson(mesh, 2.0, f)
+    opt = optax.adam(0.1)
+
+    @jax.jit
+    def step(k, st):
+        loss, g = jax.value_and_grad(
+            lambda k: jnp.mean((solve_poisson(mesh, jnp.abs(k), f)
+                                - u_data) ** 2))(k)
+        upd, st = opt.update(g, st)
+        return optax.apply_updates(k, upd), st
+
+    mgr = CheckpointManager(ckdir, max_to_keep=2)
+    latest = mgr.latest_step()
+    if latest is None:
+        k = jnp.asarray(1.0, mesh.dtype)
+        st = opt.init(k)
+        start = 0
+    else:
+        state = mgr.restore(latest, template={
+            "k": jnp.asarray(1.0, mesh.dtype),
+            "st": opt.init(jnp.asarray(1.0, mesh.dtype))})
+        k, st, start = state["k"], state["st"], latest
+
+    import time as _t
+    for i in range(start, total_steps):
+        k, st = step(k, st)
+        mgr.save(i + 1, {"k": k, "st": st})
+        if slow:
+            _t.sleep(0.05)   # widen the kill window
+    print("FINAL", repr(float(k)))
+""")
+
+
+@pytest.mark.slow
+def test_kill_and_resume_reproduces_trajectory(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    script = WORKER.replace("@REPO@", repo)
+
+    def run(ckdir, steps, slow, kill_after=None):
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script, str(ckdir), str(steps),
+             "1" if slow else "0"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True)
+        if kill_after is not None:
+            time.sleep(kill_after)
+            proc.kill()          # SIGKILL — no cleanup, mid-step
+            proc.wait()
+            return None
+        out, err = proc.communicate(timeout=300)
+        assert proc.returncode == 0, err[-2000:]
+        for line in out.splitlines():
+            if line.startswith("FINAL"):
+                return float(line.split()[1])
+        raise AssertionError(f"no FINAL in output: {out!r} {err[-500:]!r}")
+
+    # uninterrupted reference run: 30 steps
+    k_ref = run(tmp_path / "ref", 30, slow=False)
+
+    # interrupted run: kill while it is mid-training, then resume
+    ckdir = tmp_path / "victim"
+    run(ckdir, 30, slow=True, kill_after=12.0)
+    from difffe_tpu.utils import CheckpointManager
+    latest = CheckpointManager(str(ckdir)).latest_step()
+    assert latest is not None and latest < 30, (
+        f"kill landed after completion (latest={latest}); widen window")
+
+    k_resumed = run(ckdir, 30, slow=False)
+    assert abs(k_resumed - k_ref) < 1e-12, (
+        f"resumed {k_resumed} != uninterrupted {k_ref}")

@@ -123,3 +123,45 @@ class TestPhysicsLoss:
         g = jax.grad(lambda u: energy_loss(mesh, 1.0, u, f))(u_fem)
         free = mesh.free_nodes()
         np.testing.assert_allclose(np.asarray(g)[free], 0.0, atol=1e-10)
+
+
+class TestBatchedTraining:
+    def test_batched_surrogates_converge(self):
+        """B networks trained in one vmapped program, each matching its own
+        scenario's FEM solution (BASELINE config 5 shape)."""
+        from difffe_tpu.models.neural import train_pde_batched
+        from difffe_tpu.solver import solve_poisson_batched
+        mesh = FEMesh.line(n_elements=16)
+        B = 6
+        x = mesh.nodes[:, 0]
+        amps = jnp.linspace(0.5, 2.0, B)
+        f_batch = amps[:, None] * jnp.broadcast_to(jnp.sin(jnp.pi * x),
+                                                   (B, mesh.n_nodes))
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        params_b, losses = train_pde_batched(keys, mesh, f_batch,
+                                             n_epochs=1500, lr=3e-3,
+                                             hidden_dim=32, n_layers=2)
+        assert losses.shape == (B, 1500)
+        assert (np.asarray(losses[:, -1]) < np.asarray(losses[:, 0])).all()
+        # evaluate each trained net against its FEM target
+        from difffe_tpu.models.neural import boundary_mask, neural_pde_forward
+        mask = boundary_mask(mesh)
+        u_nn = jax.vmap(lambda p: neural_pde_forward(p, mesh, mask))(params_b)
+        u_fem = solve_poisson_batched(mesh, 1.0, f_batch)
+        free = mesh.free_nodes()
+        rel = np.asarray(
+            jnp.max(jnp.abs(u_nn[:, free] - u_fem[:, free]), axis=1)
+            / jnp.max(jnp.abs(u_fem[:, free]), axis=1))
+        assert (rel < 0.08).all(), f"per-scenario rel errors {rel}"
+
+    def test_per_scenario_kappa(self):
+        from difffe_tpu.models.neural import train_pde_batched
+        mesh = FEMesh.line(n_elements=12)
+        B = 3
+        f_batch = jnp.ones((B, mesh.n_nodes))
+        kb = jnp.array([1.0, 2.0, 4.0])
+        keys = jax.random.split(jax.random.PRNGKey(1), B)
+        params_b, losses = train_pde_batched(keys, mesh, f_batch,
+                                             n_epochs=400, kappa=kb,
+                                             hidden_dim=16, n_layers=2)
+        assert np.isfinite(np.asarray(losses)).all()

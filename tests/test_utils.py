@@ -147,3 +147,15 @@ class TestCLI:
         main(["bench", "batched_inverse_1d", "--batch", "32"])
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec["grad_solves_per_s"] > 0
+
+    def test_bench_2d_structured(self, capsys):
+        from difffe_tpu.cli import main
+        import dataclasses
+        from difffe_tpu.utils.config import BASELINE_CONFIGS
+        from difffe_tpu.cli import bench_scenario
+        cfg = dataclasses.replace(BASELINE_CONFIGS["kappa_field_2d"],
+                                  n_elements=8, batch=2,
+                                  extra={"cg_iters": 64})
+        rec = bench_scenario(cfg, log=lambda s: None)
+        assert rec["grid"] == "8x8"
+        assert rec["grad_solves_per_s"] > 0
