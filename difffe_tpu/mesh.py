@@ -201,6 +201,20 @@ class FEMesh:
         return cls(nodes=nodes, elements=elements, bc_mask=bc_mask,
                    bc_values=bc_values)
 
+    @classmethod
+    def line_p2(cls, n_elements: int = 10, **kw) -> "FEMesh":
+        """Quadratic (P2) 1D mesh — beyond the reference's P1-only support
+        (its roadmap item, /root/reference/README.md:139-143).  See
+        ops/p2.py."""
+        from .ops.p2 import line_p2 as _line_p2
+        return _line_p2(n_elements, **kw)
+
+    @classmethod
+    def rectangle_p2(cls, nx: int = 4, ny: int = 4, **kw) -> "FEMesh":
+        """Quadratic (P2) 2D triangulated grid (6-node triangles)."""
+        from .ops.p2 import rectangle_p2 as _rectangle_p2
+        return _rectangle_p2(nx, ny, **kw)
+
     # ------------------------------------------------------------------ misc
 
     def astype(self, dtype: jnp.dtype) -> "FEMesh":

@@ -107,10 +107,55 @@ def local_stiffness_2d(mesh: FEMesh, kappa) -> jax.Array:
 # Dense assembly (small meshes / golden path)
 # --------------------------------------------------------------------------
 
+def element_family(mesh: FEMesh) -> str:
+    """'p1_line' | 'p2_line' | 'p1_tri' | 'p2_tri' from (dim, nodes/elem)."""
+    npe = mesh.elements.shape[1]
+    if mesh.dim == 1 and npe == 2:
+        return "p1_line"
+    if mesh.dim == 1 and npe == 3:
+        return "p2_line"
+    if mesh.dim == 2 and npe == 3:
+        return "p1_tri"
+    if mesh.dim == 2 and npe == 6:
+        return "p2_tri"
+    raise NotImplementedError(
+        f"unsupported element family: dim={mesh.dim}, nodes/elem={npe}")
+
+
+def dense_from_local(mesh: FEMesh, Ke: jax.Array) -> jax.Array:
+    """Scatter per-element blocks (ne, k, k) into a dense (n, n) matrix."""
+    n = mesh.n_nodes
+    k = Ke.shape[-1]
+    elems = mesh.elements
+    rows = jnp.repeat(elems, k, axis=1).reshape(-1)
+    cols = jnp.tile(elems, (1, k)).reshape(-1)
+    K = jnp.zeros((n, n), dtype=mesh.dtype)
+    return K.at[rows, cols].add(Ke.reshape(-1))
+
+
+def local_stiffness(mesh: FEMesh, kappa) -> jax.Array:
+    """Per-element stiffness blocks for any supported element family."""
+    fam = element_family(mesh)
+    if fam == "p1_line":
+        h = element_geometry_1d(mesh)
+        ke = kappa_on_elements(mesh, kappa) / h
+        S = jnp.array([[1.0, -1.0], [-1.0, 1.0]], dtype=mesh.dtype)
+        return ke[:, None, None] * S
+    if fam == "p2_line":
+        from .p2 import local_stiffness_p2_1d
+        return local_stiffness_p2_1d(mesh, kappa)
+    if fam == "p1_tri":
+        return local_stiffness_2d(mesh, kappa)
+    from .p2 import local_stiffness_p2_2d
+    return local_stiffness_p2_2d(mesh, kappa)
+
+
 def assemble_stiffness_dense(mesh: FEMesh, kappa) -> jax.Array:
     """Dense stiffness matrix K ∈ (n_nodes, n_nodes), no BCs applied."""
-    n = mesh.n_nodes
-    if mesh.dim == 1:
+    fam = element_family(mesh)
+    if fam == "p1_line":
+        # banded fast form of the generic scatter
+        n = mesh.n_nodes
         h = element_geometry_1d(mesh)
         ke = kappa_on_elements(mesh, kappa) / h  # κ/h_e, solver.py:88
         i, j = mesh.elements[:, 0], mesh.elements[:, 1]
@@ -118,14 +163,7 @@ def assemble_stiffness_dense(mesh: FEMesh, kappa) -> jax.Array:
         K = K.at[i, i].add(ke).at[j, j].add(ke)
         K = K.at[i, j].add(-ke).at[j, i].add(-ke)
         return K
-    if mesh.dim == 2:
-        Ke = local_stiffness_2d(mesh, kappa)  # (ne, 3, 3)
-        elems = mesh.elements
-        rows = jnp.repeat(elems, 3, axis=1).reshape(-1)          # p index
-        cols = jnp.tile(elems, (1, 3)).reshape(-1)               # q index
-        K = jnp.zeros((n, n), dtype=mesh.dtype)
-        return K.at[rows, cols].add(Ke.reshape(-1))
-    raise NotImplementedError("Only 1D and 2D supported")  # solver.py:67
+    return dense_from_local(mesh, local_stiffness(mesh, kappa))
 
 
 def assemble_load(mesh: FEMesh, f: jax.Array) -> jax.Array:
@@ -137,14 +175,18 @@ def assemble_load(mesh: FEMesh, f: jax.Array) -> jax.Array:
     """
     f = jnp.asarray(f, dtype=mesh.dtype)
     n = mesh.n_nodes
-    if mesh.dim == 1:
+    fam = element_family(mesh)
+    if fam == "p1_line":
         h = element_geometry_1d(mesh)
         i, j = mesh.elements[:, 0], mesh.elements[:, 1]
         F = jnp.zeros(f.shape[:-1] + (n,), dtype=mesh.dtype)
         F = F.at[..., i].add(h / 2.0 * f[..., i])
         F = F.at[..., j].add(h / 2.0 * f[..., j])
         return F
-    if mesh.dim == 2:
+    if fam == "p2_line":
+        from .p2 import load_p2_1d
+        return load_p2_1d(mesh, f)
+    if fam == "p1_tri":
         _, _, area = element_geometry_2d(mesh)
         area = jnp.where(area < DEGENERATE_AREA_TOL, 0.0, area)
         fe = f[..., mesh.elements]                    # (..., ne, 3)
@@ -154,7 +196,8 @@ def assemble_load(mesh: FEMesh, f: jax.Array) -> jax.Array:
         for p in range(3):
             F = F.at[..., mesh.elements[:, p]].add(contrib)
         return F
-    raise NotImplementedError("Only 1D and 2D supported")
+    from .p2 import load_p2_2d
+    return load_p2_2d(mesh, f)
 
 
 def assemble_lumped_mass(mesh: FEMesh) -> jax.Array:
@@ -171,25 +214,31 @@ def assemble_lumped_mass(mesh: FEMesh) -> jax.Array:
 # Matrix-free operator (never materializes K — the 2D/TPU production path)
 # --------------------------------------------------------------------------
 
-def element_apply_2d(mesh: FEMesh, Ke: jax.Array, u: jax.Array) -> jax.Array:
-    """Matrix-free K·u using per-element blocks ``Ke`` (ne,3,3).
+def element_apply(mesh: FEMesh, Ke: jax.Array, u: jax.Array) -> jax.Array:
+    """Matrix-free K·u using per-element blocks ``Ke`` (ne, k, k).
 
     u: (..., n_nodes) → returns (..., n_nodes).  Gather element DOFs,
-    apply local 3×3 blocks, scatter-add — the TPU-friendly alternative to
-    materializing the O(n²) dense K of the reference.
+    apply local blocks, scatter-add — the TPU-friendly alternative to
+    materializing the O(n²) dense K of the reference.  Works for every
+    element family (k = nodes per element).
     """
-    elems = mesh.elements                      # (ne, 3)
-    ue = u[..., elems]                         # (..., ne, 3)
+    elems = mesh.elements                      # (ne, k)
+    k = elems.shape[1]
+    ue = u[..., elems]                         # (..., ne, k)
     kue = jnp.einsum("epq,...eq->...ep", Ke, ue)
     out = jnp.zeros_like(u)
-    for p in range(3):
+    for p in range(k):
         out = out.at[..., elems[:, p]].add(kue[..., p])
     return out
 
 
+# backward-compatible alias (original 2D-only name)
+element_apply_2d = element_apply
+
+
 def stiffness_apply(mesh: FEMesh, kappa, u: jax.Array) -> jax.Array:
-    """Matrix-free K(κ)·u for 1D or 2D meshes, batched over leading axes."""
-    if mesh.dim == 1:
+    """Matrix-free K(κ)·u for any element family, batched over leading axes."""
+    if element_family(mesh) == "p1_line":
         h = element_geometry_1d(mesh)
         ke = kappa_on_elements(mesh, kappa) / h
         i, j = mesh.elements[:, 0], mesh.elements[:, 1]
@@ -198,10 +247,7 @@ def stiffness_apply(mesh: FEMesh, kappa, u: jax.Array) -> jax.Array:
         out = out.at[..., i].add(ke * du)
         out = out.at[..., j].add(-ke * du)
         return out
-    if mesh.dim == 2:
-        Ke = local_stiffness_2d(mesh, kappa)
-        return element_apply_2d(mesh, Ke, u)
-    raise NotImplementedError("Only 1D and 2D supported")
+    return element_apply(mesh, local_stiffness(mesh, kappa), u)
 
 
 # --------------------------------------------------------------------------
@@ -215,6 +261,10 @@ def assemble_tridiag_1d(mesh: FEMesh, kappa):
     from ``FEMesh.line``).  Returns ``(d, e)`` with d: (n,), e: (n-1,) — K is
     symmetric tridiagonal: K[i,i]=d[i], K[i,i+1]=K[i+1,i]=e[i].
     """
+    if element_family(mesh) != "p1_line":
+        raise ValueError("tridiagonal assembly requires P1 line elements "
+                         "(P2 line meshes are pentadiagonal — use "
+                         "method='dense' or 'cg')")
     h = element_geometry_1d(mesh)
     ke = kappa_on_elements(mesh, kappa) / h        # (n-1,)
     n = mesh.n_nodes

@@ -34,14 +34,15 @@ from .solve import apply_dirichlet_operator, dirichlet_rhs
 
 
 def stiffness_diag(mesh: FEMesh, kappa) -> jax.Array:
-    """diag(K) — Jacobi preconditioner source."""
-    if mesh.dim == 1:
+    """diag(K) — Jacobi preconditioner source (any element family)."""
+    from .assembly import element_family, local_stiffness
+    if element_family(mesh) == "p1_line":
         d, _ = assemble_tridiag_1d(mesh, kappa)
         return d
-    Ke = local_stiffness_2d(mesh, kappa)          # (ne, 3, 3)
-    diag_e = jnp.diagonal(Ke, axis1=-2, axis2=-1)  # (ne, 3)
+    Ke = local_stiffness(mesh, kappa)              # (ne, k, k)
+    diag_e = jnp.diagonal(Ke, axis1=-2, axis2=-1)  # (ne, k)
     out = jnp.zeros(mesh.n_nodes, dtype=mesh.dtype)
-    for p in range(3):
+    for p in range(mesh.elements.shape[1]):
         out = out.at[mesh.elements[:, p]].add(diag_e[:, p])
     return out
 

@@ -1,0 +1,214 @@
+"""Quadratic (P2) elements — beyond the reference's P1-only support.
+
+The reference implements linear elements only (its README roadmap lists
+"higher-order elements" as future work, /root/reference/README.md:139-143).
+This module supplies P2 for both domains, sharing the FEMesh container
+(connectivity width distinguishes the family: dim==1 & npe==3 → P2 line;
+dim==2 & npe==6 → P2 triangle; handled by ops/assembly.py dispatch):
+
+* **1D P2 line elements** (3 nodes: ends + midpoint) — exact local
+  stiffness κ/(3h)·[[7,−8,1],[−8,16,−8],[1,−8,7]] and consistent
+  mass-matrix load h/30·[[4,2,−1],[2,16,2],[−1,2,4]]·f.
+* **2D P2 triangles** (6 nodes: vertices + edge midpoints) — stiffness by
+  the 3-edge-midpoint quadrature rule, which is EXACT for the degree-2
+  integrand ∇N_a·∇N_b on straight triangles; load by the same rule.
+
+Everything is vectorized gather → local blocks → scatter-add, batched and
+differentiable exactly like the P1 path.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import FEMesh
+from .assembly import DEGENERATE_AREA_TOL, kappa_on_elements
+
+# Vertex order: [v1, v2, v3, m12, m23, m31] (midpoint m_ij between v_i, v_j)
+_MID_QUAD = jnp.array([  # barycentric coords of the 3 edge midpoints
+    [0.5, 0.5, 0.0],
+    [0.0, 0.5, 0.5],
+    [0.5, 0.0, 0.5],
+])
+
+
+# --------------------------------------------------------------------------
+# 1D P2
+# --------------------------------------------------------------------------
+
+def element_length_p2(mesh: FEMesh) -> jax.Array:
+    x = mesh.nodes[:, 0]
+    return x[mesh.elements[:, 2]] - x[mesh.elements[:, 0]]
+
+
+def local_stiffness_p2_1d(mesh: FEMesh, kappa) -> jax.Array:
+    """(ne, 3, 3) local stiffness blocks κ_e/(3h_e)·S."""
+    h = element_length_p2(mesh)
+    ke = kappa_on_elements(mesh, kappa)
+    S = jnp.array([[7.0, -8.0, 1.0],
+                   [-8.0, 16.0, -8.0],
+                   [1.0, -8.0, 7.0]], dtype=mesh.dtype)
+    return (ke / (3.0 * h))[:, None, None] * S
+
+
+def load_p2_1d(mesh: FEMesh, f: jax.Array) -> jax.Array:
+    """Consistent P2 load: F_local = M_e f_local, M_e = h/30·[[4,2,−1],…]."""
+    h = element_length_p2(mesh)
+    M = jnp.array([[4.0, 2.0, -1.0],
+                   [2.0, 16.0, 2.0],
+                   [-1.0, 2.0, 4.0]], dtype=mesh.dtype)
+    fe = f[..., mesh.elements]                                  # (..., ne, 3)
+    Fe = jnp.einsum("pq,...eq->...ep", M, fe) * (h / 30.0)[:, None]
+    out = jnp.zeros(f.shape[:-1] + (mesh.n_nodes,), dtype=mesh.dtype)
+    for p in range(3):
+        out = out.at[..., mesh.elements[:, p]].add(Fe[..., p])
+    return out
+
+
+# --------------------------------------------------------------------------
+# 2D P2
+# --------------------------------------------------------------------------
+
+def _p1_geometry_from_vertices(mesh: FEMesh):
+    """b, c, area from the triangle's 3 VERTEX nodes (first 3 of 6)."""
+    p = mesh.nodes[mesh.elements[:, :3]]            # (ne, 3, 2)
+    x, y = p[..., 0], p[..., 1]
+    xi, xj, xk = x[:, 0], x[:, 1], x[:, 2]
+    yi, yj, yk = y[:, 0], y[:, 1], y[:, 2]
+    area = 0.5 * jnp.abs((xj - xi) * (yk - yi) - (xk - xi) * (yj - yi))
+    b = jnp.stack([yj - yk, yk - yi, yi - yj], axis=1)
+    c = jnp.stack([xk - xj, xi - xk, xj - xi], axis=1)
+    return b, c, area
+
+
+def _p2_shape_gradients(b, c, area, lam):
+    """∇N_a at one barycentric point for all elements.
+
+    b, c: (ne, 3); area: (ne,); lam: (3,) barycentric coords.
+    Returns (ne, 6, 2):
+      vertex a: ∇N_a = (4λ_a − 1)∇λ_a;  edge (a,b): 4(λ_a∇λ_b + λ_b∇λ_a),
+    with ∇λ_a = (b_a, c_a)/(2A).
+    """
+    inv2A = 1.0 / (2.0 * area)                        # (ne,)
+    grad_lam = jnp.stack([b, c], axis=-1) * inv2A[:, None, None]  # (ne,3,2)
+    lam = lam[None, :, None]                          # (1, 3, 1)
+    vert = (4.0 * lam - 1.0) * grad_lam               # (ne, 3, 2)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    mids = [4.0 * (lam[:, a] * grad_lam[:, bb] + lam[:, bb] * grad_lam[:, a])
+            for a, bb in edges]                       # each (ne, 2)
+    return jnp.concatenate([vert, jnp.stack(mids, axis=1)], axis=1)
+
+
+def _p2_shape_values(lam):
+    """N_a(λ) for the 6 P2 shape functions at one barycentric point (6,)."""
+    v = lam * (2.0 * lam - 1.0)
+    m = jnp.array([4.0 * lam[0] * lam[1],
+                   4.0 * lam[1] * lam[2],
+                   4.0 * lam[2] * lam[0]])
+    return jnp.concatenate([v, m])
+
+
+def local_stiffness_p2_2d(mesh: FEMesh, kappa) -> jax.Array:
+    """(ne, 6, 6) local stiffness via exact 3-midpoint quadrature."""
+    b, c, area = _p1_geometry_from_vertices(mesh)
+    ke = kappa_on_elements(mesh, kappa)
+    K = jnp.zeros((mesh.n_elements, 6, 6), dtype=mesh.dtype)
+    w = area / 3.0
+    for q in range(3):
+        G = _p2_shape_gradients(b, c, area, _MID_QUAD[q].astype(mesh.dtype))
+        K = K + w[:, None, None] * jnp.einsum("ead,ebd->eab", G, G)
+    scale = jnp.where(area < DEGENERATE_AREA_TOL, 0.0, ke)
+    return scale[:, None, None] * K
+
+
+def load_p2_2d(mesh: FEMesh, f: jax.Array) -> jax.Array:
+    """Load by the same midpoint rule (exact for degree-2 integrands)."""
+    _, _, area = _p1_geometry_from_vertices(mesh)
+    area = jnp.where(area < DEGENERATE_AREA_TOL, 0.0, area)
+    fe = f[..., mesh.elements]                        # (..., ne, 6)
+    out = jnp.zeros(f.shape[:-1] + (mesh.n_nodes,), dtype=mesh.dtype)
+    w = area / 3.0
+    for q in range(3):
+        N = _p2_shape_values(_MID_QUAD[q]).astype(mesh.dtype)  # (6,)
+        f_q = jnp.einsum("a,...ea->...e", N, fe)               # f at point q
+        contrib = w * f_q                                      # (..., ne)
+        for p in range(6):
+            out = out.at[..., mesh.elements[:, p]].add(N[p] * contrib)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Mesh factories
+# --------------------------------------------------------------------------
+
+def line_p2(n_elements: int = 10, x_left: float = 0.0, x_right: float = 1.0,
+            bc_left=0.0, bc_right=0.0, dtype=None) -> FEMesh:
+    """Uniform 1D P2 mesh: 2N+1 nodes, elements (2i, 2i+1, 2i+2)."""
+    from ..mesh import default_dtype
+    dtype = dtype or default_dtype()
+    n = 2 * n_elements + 1
+    x = jnp.linspace(x_left, x_right, n, dtype=dtype)
+    nodes = x[:, None]
+    i = 2 * jnp.arange(n_elements, dtype=jnp.int32)
+    elements = jnp.stack([i, i + 1, i + 2], axis=1)
+    bc_mask = jnp.zeros(n, dtype=dtype)
+    bc_values = jnp.zeros(n, dtype=dtype)
+    if bc_left is not None:
+        bc_mask = bc_mask.at[0].set(1.0)
+        bc_values = bc_values.at[0].set(bc_left)
+    if bc_right is not None:
+        bc_mask = bc_mask.at[n - 1].set(1.0)
+        bc_values = bc_values.at[n - 1].set(bc_right)
+    return FEMesh(nodes=nodes, elements=elements, bc_mask=bc_mask,
+                  bc_values=bc_values)
+
+
+def rectangle_p2(nx: int = 4, ny: int = 4, x_range=(0.0, 1.0),
+                 y_range=(0.0, 1.0), bc_value: float = 0.0,
+                 dtype=None) -> FEMesh:
+    """2D P2 triangulated grid on the (2nx+1)×(2ny+1) refined node lattice.
+
+    Same coarse quads and lower-left split as ``FEMesh.rectangle``; each
+    triangle carries [v1, v2, v3, m12, m23, m31].
+    """
+    from ..mesh import default_dtype
+    dtype = dtype or default_dtype()
+    NX, NY = 2 * nx + 1, 2 * ny + 1
+    xs = jnp.linspace(x_range[0], x_range[1], NX, dtype=dtype)
+    ys = jnp.linspace(y_range[0], y_range[1], NY, dtype=dtype)
+    xx, yy = jnp.meshgrid(xs, ys)
+    nodes = jnp.stack([xx.ravel(), yy.ravel()], axis=1)
+
+    def nid(r, c):
+        return r * NX + c
+
+    i = 2 * jnp.arange(ny, dtype=jnp.int32)[:, None]   # fine row of quad
+    j = 2 * jnp.arange(nx, dtype=jnp.int32)[None, :]   # fine col of quad
+    a = nid(i, j).ravel()
+    bb = nid(i, j + 2).ravel()
+    cc = nid(i + 2, j + 2).ravel()
+    d = nid(i + 2, j).ravel()
+    m_ab = nid(i, j + 1).ravel()
+    m_bd = nid(i + 1, j + 1).ravel()
+    m_da = nid(i + 1, j).ravel()
+    m_bc = nid(i + 1, j + 2).ravel()
+    m_cd = nid(i + 2, j + 1).ravel()
+    # lower (a, b, d): m12=m_ab, m23=m_bd, m31=m_da
+    lower = jnp.stack([a, bb, d, m_ab, m_bd, m_da], axis=1)
+    # upper (b, c, d): m12=m_bc, m23=m_cd, m31=m_bd
+    upper = jnp.stack([bb, cc, d, m_bc, m_cd, m_bd], axis=1)
+    elements = jnp.stack([lower, upper], axis=1).reshape(-1, 6)
+
+    on_bnd = (
+        jnp.isclose(nodes[:, 0], x_range[0])
+        | jnp.isclose(nodes[:, 0], x_range[1])
+        | jnp.isclose(nodes[:, 1], y_range[0])
+        | jnp.isclose(nodes[:, 1], y_range[1])
+    )
+    bc_mask = on_bnd.astype(dtype)
+    bc_values = bc_mask * jnp.asarray(bc_value, dtype=dtype)
+    return FEMesh(nodes=nodes, elements=elements, bc_mask=bc_mask,
+                  bc_values=bc_values)

@@ -104,7 +104,8 @@ tridiag_solve.defvjp(_tridiag_solve_fwd, _tridiag_solve_bwd)
 
 
 def solve_poisson_tridiag(mesh: FEMesh, d: jax.Array, e: jax.Array,
-                          F: jax.Array, backend: str = "xla") -> jax.Array:
+                          F: jax.Array, backend: str = "xla",
+                          bc_values=None) -> jax.Array:
     """BC-eliminate banded (d, e, F) on a 1D chain mesh and PCR-solve.
 
     Mask elimination in band form (see ops/solve.py for the dense analogue):
@@ -113,9 +114,13 @@ def solve_poisson_tridiag(mesh: FEMesh, d: jax.Array, e: jax.Array,
 
     backend: 'xla' (fused elementwise sweeps) or 'pallas' (single VMEM-
     resident kernel for the whole reduction, ops/pallas/tridiag_kernel.py).
+    ``bc_values`` optionally overrides the mesh's Dirichlet values and may
+    carry leading batch axes (per-scenario BC perturbations — a north-star
+    batch dimension, BASELINE.json).
     """
     m = mesh.bc_mask
-    g = mesh.bc_values
+    g = mesh.bc_values if bc_values is None else \
+        jnp.asarray(bc_values, dtype=mesh.dtype)
     p = 1.0 - m
     d_mod = p * d + m
     e_mod = p[..., :-1] * p[..., 1:] * e

@@ -37,11 +37,12 @@ from .ops import cg as _cg
 
 
 def _resolve_method(mesh: FEMesh, method: str) -> str:
+    from .ops.assembly import element_family
     if method != "auto":
         return method
-    if mesh.dim == 1:
+    if element_family(mesh) == "p1_line":
         return "tridiag"
-    # 2D: dense Cholesky up to moderate size, matrix-free CG beyond
+    # P2 line / 2D: dense Cholesky up to moderate size, matrix-free CG beyond
     return "dense" if mesh.n_nodes <= 4096 else "cg"
 
 
@@ -52,6 +53,7 @@ def solve_poisson(
     method: str = "auto",
     cg_tol: float = 0.0,
     cg_maxiter: Optional[int] = None,
+    bc_values=None,
 ) -> jax.Array:
     """Solve −∇·(κ∇u) = f on ``mesh`` with its Dirichlet BCs.
 
@@ -59,7 +61,9 @@ def solve_poisson(
     ----------
     kappa : scalar, (n_elements,), or (n_nodes,) diffusion coefficient.
     f : (n_nodes,) nodal forcing values.
-    method : 'auto' | 'dense' | 'lu' | 'tridiag' | 'cg'.
+    method : 'auto' | 'dense' | 'lu' | 'tridiag' | 'tridiag_pallas' | 'cg'.
+    bc_values : optional (n_nodes,) override of the mesh's Dirichlet values
+        (per-scenario BC perturbations batch via ``solve_poisson_batched``).
 
     Returns ``u`` of shape (n_nodes,).  Differentiable wrt kappa, f, mesh
     coordinates, and BC values.
@@ -73,7 +77,14 @@ def solve_poisson(
         d, e = assemble_tridiag_1d(mesh, kappa)
         F = assemble_load(mesh, f)
         backend = "pallas" if method == "tridiag_pallas" else "xla"
-        return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend)
+        return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend,
+                                              bc_values=bc_values)
+
+    if bc_values is not None:
+        # dense/cg paths read BCs from the mesh pytree — substitute
+        import dataclasses as _dc
+        mesh = _dc.replace(mesh,
+                           bc_values=jnp.asarray(bc_values, mesh.dtype))
 
     if method == "cg":
         F = assemble_load(mesh, f)
@@ -94,16 +105,21 @@ def solve_poisson_batched(
     kappa,
     f: jax.Array,
     method: str = "auto",
+    bc_values=None,
     **kw,
 ) -> jax.Array:
-    """Batched scenarios: κ (B, …) and/or f (B, n_nodes) → u (B, n_nodes).
+    """Batched scenarios: κ (B, …), f (B, n_nodes), and/or Dirichlet values
+    ``bc_values`` (B, n_nodes) → u (B, n_nodes).
 
-    Either argument may be unbatched (broadcast across the batch).  This is
-    the workhorse of the north-star configs (SURVEY.md §2b 'scenario-batch
+    Any argument may be unbatched (broadcast across the batch).  κ fields,
+    forcings, and BC perturbations are exactly the three scenario axes the
+    north star names (BASELINE.json; SURVEY.md §2b 'scenario-batch
     parallelism').
     """
     kappa = jnp.asarray(kappa, dtype=mesh.dtype)
     f = jnp.asarray(f, dtype=mesh.dtype)
+    if bc_values is not None:
+        bc_values = jnp.asarray(bc_values, dtype=mesh.dtype)
     # κ counts as batched when it has a leading scenario axis: (B,) of
     # per-scenario scalars (B ≠ n_elements/n_nodes to disambiguate), or
     # (B, n_elements) / (B, n_nodes) fields.
@@ -112,8 +128,10 @@ def solve_poisson_batched(
         and kappa.shape[0] not in (mesh.n_elements, mesh.n_nodes)
     )
     f_batched = f.ndim >= 2
-    if not (k_batched or f_batched):
-        return solve_poisson(mesh, kappa, f, method=method, **kw)
+    g_batched = bc_values is not None and bc_values.ndim >= 2
+    if not (k_batched or f_batched or g_batched):
+        return solve_poisson(mesh, kappa, f, method=method,
+                             bc_values=bc_values, **kw)
 
     method = _resolve_method(mesh, method)
     if method in ("tridiag", "tridiag_pallas") and mesh.dim == 1:
@@ -125,17 +143,22 @@ def solve_poisson_batched(
                                      (kappa.shape[0], mesh.n_elements))
         d, e = assemble_tridiag_1d(mesh, kappa)
         F = assemble_load(mesh, f)
-        if d.ndim > F.ndim:
-            F = jnp.broadcast_to(F, d.shape[:-1] + F.shape[-1:])
-        elif F.ndim > d.ndim:
-            d = jnp.broadcast_to(d, F.shape[:-1] + d.shape[-1:])
-            e = jnp.broadcast_to(e, F.shape[:-1] + e.shape[-1:])
+        lead = jnp.broadcast_shapes(d.shape[:-1], F.shape[:-1],
+                                    bc_values.shape[:-1]
+                                    if g_batched else ())
+        F = jnp.broadcast_to(F, lead + F.shape[-1:])
+        d = jnp.broadcast_to(d, lead + d.shape[-1:])
+        e = jnp.broadcast_to(e, lead + e.shape[-1:])
         backend = "pallas" if method == "tridiag_pallas" else "xla"
-        return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend)
+        return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend,
+                                              bc_values=bc_values)
 
-    fn = lambda k, ff: solve_poisson(mesh, k, ff, method=method, **kw)
+    fn = lambda k, ff, g: solve_poisson(mesh, k, ff, method=method,
+                                        bc_values=g, **kw)
     return jax.vmap(fn, in_axes=(0 if k_batched else None,
-                                 0 if f_batched else None))(kappa, f)
+                                 0 if f_batched else None,
+                                 0 if g_batched else None))(
+        kappa, f, bc_values)
 
 
 class DifferentiableFESolver:

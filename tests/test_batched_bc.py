@@ -1,0 +1,79 @@
+"""BC-perturbation batching — the third scenario axis the north star names
+(κ fields, forcings, BC perturbations; BASELINE.json)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+
+
+class TestBCOverride:
+    @pytest.mark.parametrize("method", ["dense", "tridiag", "cg"])
+    def test_override_matches_mesh_rebuild(self, method):
+        mesh = FEMesh.line(n_elements=10)
+        x = mesh.nodes[:, 0]
+        f = jnp.zeros_like(x)
+        g = jnp.zeros(mesh.n_nodes).at[0].set(1.0).at[-1].set(2.0)
+        u = solve_poisson(mesh, 1.0, f, method=method, bc_values=g)
+        # u'' = 0 with u(0)=1, u(1)=2 → 1 + x
+        np.testing.assert_allclose(np.asarray(u), np.asarray(1.0 + x),
+                                   atol=1e-10)
+
+    def test_batched_bc_values_fast_path(self):
+        mesh = FEMesh.line(n_elements=16)
+        x = mesh.nodes[:, 0]
+        B = 8
+        rights = jnp.linspace(0.0, 2.0, B)
+        g = jnp.zeros((B, mesh.n_nodes)).at[:, -1].set(rights)
+        f = jnp.zeros(mesh.n_nodes)
+        u = solve_poisson_batched(mesh, 1.0, f, method="tridiag",
+                                  bc_values=g)
+        assert u.shape == (B, mesh.n_nodes)
+        # u'' = 0, u(0)=0, u(1)=r → u = r·x
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(u[b]), np.asarray(rights[b] * x), atol=1e-10)
+
+    def test_batched_bc_with_batched_kappa_and_f(self):
+        """All three scenario axes at once."""
+        mesh = FEMesh.line(n_elements=12)
+        B = 5
+        key = jax.random.PRNGKey(0)
+        kb = 1.0 + jax.random.uniform(key, (B,), mesh.dtype)
+        fb = jnp.ones((B, mesh.n_nodes)) * jnp.arange(1, B + 1)[:, None]
+        g = jnp.zeros((B, mesh.n_nodes)).at[:, 0].set(
+            jnp.linspace(-1, 1, B))
+        u_fast = solve_poisson_batched(mesh, kb, fb, method="tridiag",
+                                       bc_values=g)
+        # reference: per-scenario solves with mesh rebuilds
+        import dataclasses
+        for b in range(B):
+            mb = dataclasses.replace(mesh, bc_values=g[b])
+            ub = solve_poisson(mb, kb[b], fb[b], method="dense")
+            np.testing.assert_allclose(np.asarray(u_fast[b]),
+                                       np.asarray(ub), atol=1e-10)
+
+    def test_gradient_wrt_bc_values(self):
+        """∂loss/∂g flows (BC values are optimizable controls)."""
+        mesh = FEMesh.line(n_elements=10)
+        f = jnp.ones(mesh.n_nodes)
+        g0 = jnp.zeros(mesh.n_nodes)
+
+        def loss(g):
+            u = solve_poisson(mesh, 1.0, f, method="tridiag", bc_values=g)
+            return jnp.sum(u ** 2)
+
+        grad = jax.grad(loss)(g0)
+        # only Dirichlet entries can matter
+        m = np.asarray(mesh.bc_mask) > 0.5
+        assert np.abs(np.asarray(grad)[m]).max() > 1e-10
+        # FD check on the right BC entry
+        eps = 1e-6
+        gp = g0.at[-1].set(eps)
+        gm = g0.at[-1].set(-eps)
+        fd = (loss(gp) - loss(gm)) / (2 * eps)
+        assert abs(float(grad[-1]) - float(fd)) < 1e-6 * max(
+            1.0, abs(float(fd)))

@@ -1,0 +1,173 @@
+"""Quadratic (P2) element tests: exactness, superconvergence, gradients."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import assemble_stiffness_dense, stiffness_apply
+from difffe_tpu.solver import solve_poisson
+
+
+class TestP2Line:
+    def test_mesh_shape(self):
+        m = FEMesh.line_p2(n_elements=4)
+        assert m.n_nodes == 9
+        assert m.n_elements == 4
+        assert m.elements.shape == (4, 3)
+
+    def test_quadratic_exact(self):
+        """−u″ = 2 → u = x(1−x): in the P2 space, reproduced exactly."""
+        mesh = FEMesh.line_p2(n_elements=5)
+        x = mesh.nodes[:, 0]
+        u = solve_poisson(mesh, 1.0, 2.0 * jnp.ones_like(x))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x * (1 - x)),
+                                   atol=1e-12)
+
+    def test_cubic_exact(self):
+        """−u″ = 6x with u(0)=u(1)=0 → u = x − x³.
+
+        Cubic solutions are NOT in the P2 space, but 1D FEM nodal values are
+        exact whenever the load integrals ∫f·N_a are exact — true here since
+        the consistent P2 mass load integrates the linear f exactly."""
+        mesh = FEMesh.line_p2(n_elements=6)
+        x = mesh.nodes[:, 0]
+        u = solve_poisson(mesh, 1.0, 6.0 * x)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x - x ** 3),
+                                   atol=1e-12)
+
+    def test_superconvergence_vs_p1(self):
+        """Sinusoidal forcing: P2 error drops much faster than P1's O(h²) —
+        expect ≥ O(h⁴)-like nodal ratios (>10 per doubling)."""
+        errors = []
+        for n in [4, 8, 16]:
+            mesh = FEMesh.line_p2(n_elements=n)
+            x = mesh.nodes[:, 0]
+            f = (math.pi ** 2) * jnp.sin(math.pi * x)
+            u = solve_poisson(mesh, 1.0, f)
+            errors.append(float(jnp.max(jnp.abs(u - jnp.sin(math.pi * x)))))
+        for c, f_ in zip(errors[:-1], errors[1:]):
+            assert c / (f_ + 1e-16) > 10.0, f"ratios {errors}"
+
+    def test_p2_beats_p1_same_dof(self):
+        """At equal DOF count, P2 is far more accurate than P1."""
+        n_nodes = 17
+        mesh1 = FEMesh.line(n_elements=n_nodes - 1)
+        mesh2 = FEMesh.line_p2(n_elements=(n_nodes - 1) // 2)
+        for mesh, tag in [(mesh1, "p1"), (mesh2, "p2")]:
+            x = mesh.nodes[:, 0]
+            f = (math.pi ** 2) * jnp.sin(math.pi * x)
+            u = solve_poisson(mesh, 1.0, f)
+            err = float(jnp.max(jnp.abs(u - jnp.sin(math.pi * x))))
+            if tag == "p1":
+                err_p1 = err
+            else:
+                err_p2 = err
+        assert err_p2 < err_p1 / 20.0, f"p1 {err_p1:.2e} vs p2 {err_p2:.2e}"
+
+    def test_gradient_flows(self):
+        mesh = FEMesh.line_p2(n_elements=5)
+        f = jnp.ones(mesh.n_nodes)
+        g = jax.grad(lambda k: jnp.sum(solve_poisson(mesh, k, f) ** 2))(1.5)
+        eps = 1e-6
+        loss = lambda k: float(jnp.sum(solve_poisson(mesh, k, f) ** 2))
+        fd = (loss(1.5 + eps) - loss(1.5 - eps)) / (2 * eps)
+        assert abs(float(g) - fd) < 1e-6 * max(1.0, abs(fd))
+
+    def test_cg_matches_dense(self):
+        mesh = FEMesh.line_p2(n_elements=8)
+        key = jax.random.PRNGKey(0)
+        ke = 1.0 + jax.random.uniform(key, (mesh.n_elements,), mesh.dtype)
+        f = jnp.sin(3.0 * mesh.nodes[:, 0])
+        u_d = solve_poisson(mesh, ke, f, method="dense")
+        u_c = solve_poisson(mesh, ke, f, method="cg")
+        np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_d),
+                                   atol=1e-9)
+
+    def test_tridiag_rejected(self):
+        mesh = FEMesh.line_p2(n_elements=4)
+        with pytest.raises(ValueError, match="pentadiagonal"):
+            solve_poisson(mesh, 1.0, jnp.ones(mesh.n_nodes),
+                          method="tridiag")
+
+
+class TestP2Triangle:
+    def test_mesh_shape(self):
+        m = FEMesh.rectangle_p2(nx=2, ny=2)
+        assert m.n_nodes == 25           # (2*2+1)^2
+        assert m.n_elements == 8
+        assert m.elements.shape == (8, 6)
+
+    def test_stiffness_symmetric_with_constant_nullspace(self):
+        m = FEMesh.rectangle_p2(nx=2, ny=2)
+        K = np.asarray(assemble_stiffness_dense(m, 1.0))
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        np.testing.assert_allclose(K @ np.ones(m.n_nodes), 0.0, atol=1e-11)
+
+    def test_quadratic_exact(self):
+        """u = x(1−x) + y(1−y) (−Δu = 4) lies in the P2 space → exact."""
+        mesh = FEMesh.rectangle_p2(nx=3, ny=3)
+        x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+        exact = x * (1 - x) + y * (1 - y)
+        # nonzero boundary: override BC values with the exact trace
+        u = solve_poisson(mesh, 1.0, 4.0 * jnp.ones_like(x),
+                          bc_values=mesh.bc_mask * exact)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(exact),
+                                   atol=1e-10)
+
+    def test_convergence_order_3(self):
+        """Manufactured sin solution: max-norm error ~O(h³) → ratio > 6."""
+        errors = []
+        for n in [2, 4, 8]:
+            mesh = FEMesh.rectangle_p2(nx=n, ny=n)
+            x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+            f = 2 * math.pi ** 2 * jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+            u = solve_poisson(mesh, 1.0, f, method="dense")
+            exact = jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+            errors.append(float(jnp.max(jnp.abs(u - exact))))
+        for c, f_ in zip(errors[:-1], errors[1:]):
+            assert c / (f_ + 1e-16) > 6.0, f"ratios {errors}"
+
+    def test_p2_beats_p1_same_mesh_size(self):
+        mesh1 = FEMesh.rectangle(nx=8, ny=8)
+        mesh2 = FEMesh.rectangle_p2(nx=4, ny=4)   # same 81 nodes
+        errs = {}
+        for mesh, tag in [(mesh1, "p1"), (mesh2, "p2")]:
+            x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+            f = 2 * math.pi ** 2 * jnp.sin(math.pi * x) * jnp.sin(math.pi * y)
+            u = solve_poisson(mesh, 1.0, f, method="dense")
+            errs[tag] = float(jnp.max(jnp.abs(
+                u - jnp.sin(math.pi * x) * jnp.sin(math.pi * y))))
+        assert errs["p2"] < errs["p1"] / 3.0, errs
+
+    def test_gradient_per_element_kappa(self):
+        mesh = FEMesh.rectangle_p2(nx=2, ny=2)
+        f = jnp.ones(mesh.n_nodes)
+        rng = np.random.default_rng(0)
+        k0 = jnp.asarray(1.0 + rng.uniform(size=mesh.n_elements))
+
+        def loss(k):
+            return jnp.sum(solve_poisson(mesh, k, f, method="dense") ** 2)
+
+        g = np.asarray(jax.grad(loss)(k0))
+        # FD spot-check two entries
+        for idx in [0, 5]:
+            eps = 1e-6
+            kp = k0.at[idx].add(eps)
+            km = k0.at[idx].add(-eps)
+            fd = (float(loss(kp)) - float(loss(km))) / (2 * eps)
+            assert abs(g[idx] - fd) < 1e-5 * max(1.0, abs(fd))
+
+    def test_matrix_free_matches_dense(self):
+        mesh = FEMesh.rectangle_p2(nx=2, ny=3)
+        key = jax.random.PRNGKey(2)
+        ke = 1.0 + jax.random.uniform(key, (mesh.n_elements,), mesh.dtype)
+        u = jax.random.normal(jax.random.fold_in(key, 1),
+                              (mesh.n_nodes,), mesh.dtype)
+        K = assemble_stiffness_dense(mesh, ke)
+        np.testing.assert_allclose(
+            np.asarray(stiffness_apply(mesh, ke, u)),
+            np.asarray(K @ u), atol=1e-11)
