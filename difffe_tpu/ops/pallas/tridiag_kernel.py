@@ -105,6 +105,103 @@ def _pcr_pallas_padded(a, d, c, f, block_b: int = 64,
     )(a, d, c, f)
 
 
+# --------------------------------------------------------------------------
+# Transposed layout: DOFs on sublanes, batch on lanes.
+#
+# For small systems (n ≲ 256) the batch-on-sublanes layout above pads n to
+# 128 lanes — 4× wasted VPU width at n=31.  Transposing puts n on the
+# sublane axis (pad to a multiple of 8) and the scenario batch on lanes
+# (128-multiple, never wasted at production batch sizes), so every VPU op
+# is fully dense.  PCR shifts become sublane rolls.
+# --------------------------------------------------------------------------
+
+def _shift_kernel_up_rows(x, s, fill):
+    """y[i, :] = x[i-s, :] (head filled) — sublane-axis shift."""
+    rolled = pltpu.roll(x, s, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=0)
+    return jnp.where(row < s, fill, rolled)
+
+
+def _shift_kernel_down_rows(x, s, fill):
+    """y[i, :] = x[i+s, :] (tail filled)."""
+    n = x.shape[0]
+    rolled = pltpu.roll(x, n - s, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=0)
+    return jnp.where(row >= n - s, fill, rolled)
+
+
+def _pcr_block_kernel_T(a_ref, d_ref, c_ref, f_ref, out_ref, *, steps: int):
+    a = a_ref[:]
+    b = d_ref[:]
+    c = c_ref[:]
+    r = f_ref[:]
+    one = jnp.ones((), b.dtype)
+    zero = jnp.zeros((), b.dtype)
+    s = 1
+    for _ in range(steps):
+        b_up = _shift_kernel_up_rows(b, s, one)
+        b_dn = _shift_kernel_down_rows(b, s, one)
+        a_up = _shift_kernel_up_rows(a, s, zero)
+        c_dn = _shift_kernel_down_rows(c, s, zero)
+        c_up = _shift_kernel_up_rows(c, s, zero)
+        a_dn = _shift_kernel_down_rows(a, s, zero)
+        r_up = _shift_kernel_up_rows(r, s, zero)
+        r_dn = _shift_kernel_down_rows(r, s, zero)
+        alpha = -a / b_up
+        gamma = -c / b_dn
+        a = alpha * a_up
+        c = gamma * c_dn
+        b = b + alpha * c_up + gamma * a_dn
+        r = r + alpha * r_up + gamma * r_dn
+        s *= 2
+    out_ref[:] = r / b
+
+
+@functools.partial(jax.jit, static_argnames=("block_lanes", "n_true"))
+def _pcr_pallas_T(a, d, c, f, block_lanes: int = 1024,
+                  n_true: int | None = None):
+    """Transposed inputs (N, B): N % 8 == 0 sublanes, B % block_lanes == 0."""
+    N, B = d.shape
+    steps = max(1, math.ceil(math.log2(n_true if n_true else N)))
+    kernel = functools.partial(_pcr_block_kernel_T, steps=steps)
+    spec = pl.BlockSpec((N, block_lanes), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, B), d.dtype),
+        grid=(B // block_lanes,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=spec,
+        interpret=_is_cpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * N * steps,
+            bytes_accessed=5 * B * N * d.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(a, d, c, f)
+
+
+def _solve_padded_T(d, e, F, block_lanes=None):
+    """(B, n) bands → transposed kernel → (B, n) solutions."""
+    B, n = d.shape
+    if block_lanes is None:
+        block_lanes = min(1024, _round_up(B, 128))
+    N = _round_up(max(n, 8), 8)
+    Bp = _round_up(max(B, block_lanes), block_lanes)
+    dtype = d.dtype
+
+    def padT(x, fill, n_cols):
+        out = jnp.full((N, Bp), fill, dtype)
+        return out.at[:n_cols, :B].set(x.T)
+
+    dp = padT(d, 1.0, n)
+    ap = jnp.full((N, Bp), 0.0, dtype).at[1:n, :B].set(e.T)
+    cp = jnp.full((N, Bp), 0.0, dtype).at[:n - 1, :B].set(e.T)
+    fp = padT(F, 0.0, n)
+    u = _pcr_pallas_T(ap, dp, cp, fp, block_lanes=block_lanes, n_true=n)
+    return u[:n, :B].T
+
+
 def _solve_padded(d, e, F, block_b):
     """Pad (B, n) bands to kernel layout, run, slice back."""
     B, n = d.shape
@@ -137,7 +234,12 @@ def _impl(d, e, F, block_b):
     d2 = d.reshape(-1, n)
     e2 = e.reshape(-1, n - 1)
     F2 = F.reshape(-1, n)
-    u = _solve_padded(d2, e2, F2, block_b)
+    if n <= 256:
+        # transposed layout: n on sublanes (8-multiple — no 128-lane
+        # padding waste for small systems), batch on lanes
+        u = _solve_padded_T(d2, e2, F2)
+    else:
+        u = _solve_padded(d2, e2, F2, block_b)
     return u.reshape(lead + (n,))
 
 
