@@ -1,0 +1,65 @@
+"""Neumann (natural/flux) boundary conditions — Dirichlet-only in the
+reference (its BC model is a node→value dict, /root/reference/diffhe/mesh.py:31).
+
+Weak form: ∫κ∇u·∇v = ∫fv + ∮ g_N v ds with g_N = κ ∂u/∂n (outward flux).
+Natural BCs therefore enter only the load vector; these helpers build the
+boundary term as a dense (n_nodes,) array added to F before Dirichlet
+elimination (contributions on Dirichlet nodes are inert — eliminated rows).
+
+All helpers are vectorized, differentiable wrt the flux values, and batch
+over leading axes of ``q``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import FEMesh
+
+
+def point_flux(mesh: FEMesh, node: int, q) -> jax.Array:
+    """1D natural BC: κu′·v picked up at a boundary node → F[node] += q."""
+    out = jnp.zeros(mesh.n_nodes, dtype=mesh.dtype)
+    return out.at[node].add(jnp.asarray(q, dtype=mesh.dtype))
+
+
+def edge_flux_load(mesh: FEMesh, edges: jax.Array, q: jax.Array) -> jax.Array:
+    """2D natural BC: ∮ g_N v ds over the given boundary edges.
+
+    edges: (E, 2) int node pairs along the Neumann boundary;
+    q: (..., n_nodes) nodal flux values g_N (evaluated at nodes).
+    Trapezoidal edge rule (P1-consistent):
+        F_i += len_e/2 · q_i,  F_j += len_e/2 · q_j  per edge (i, j).
+    """
+    edges = jnp.asarray(edges, dtype=jnp.int32)
+    q = jnp.asarray(q, dtype=mesh.dtype)
+    pi = mesh.nodes[edges[:, 0]]
+    pj = mesh.nodes[edges[:, 1]]
+    length = jnp.linalg.norm(pj - pi, axis=-1)            # (E,)
+    out = jnp.zeros(q.shape[:-1] + (mesh.n_nodes,), dtype=mesh.dtype)
+    out = out.at[..., edges[:, 0]].add(length / 2.0 * q[..., edges[:, 0]])
+    out = out.at[..., edges[:, 1]].add(length / 2.0 * q[..., edges[:, 1]])
+    return out
+
+
+def boundary_edges(mesh: FEMesh, predicate=None):
+    """Boundary edges of a triangle mesh (host-side, via the native
+    meshtool), optionally filtered by a coordinate predicate on both
+    endpoints.  Returns an (E, 2) numpy int array — compute once, outside
+    jit, like mesh construction."""
+    import numpy as np
+    elements = np.asarray(mesh.elements)
+    if elements.shape[1] == 6:          # P2 triangle: vertices are first 3
+        elements = elements[:, :3]
+    edges = np.concatenate([elements[:, [0, 1]], elements[:, [1, 2]],
+                            elements[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    bnd = uniq[counts == 1]
+    if predicate is not None:
+        nodes = np.asarray(mesh.nodes)
+        keep = [predicate(nodes[i]) and predicate(nodes[j])
+                for i, j in bnd]
+        bnd = bnd[np.asarray(keep, dtype=bool)]
+    return bnd

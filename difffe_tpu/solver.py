@@ -54,6 +54,7 @@ def solve_poisson(
     cg_tol: float = 0.0,
     cg_maxiter: Optional[int] = None,
     bc_values=None,
+    neumann=None,
 ) -> jax.Array:
     """Solve −∇·(κ∇u) = f on ``mesh`` with its Dirichlet BCs.
 
@@ -64,6 +65,8 @@ def solve_poisson(
     method : 'auto' | 'dense' | 'lu' | 'tridiag' | 'tridiag_pallas' | 'cg'.
     bc_values : optional (n_nodes,) override of the mesh's Dirichlet values
         (per-scenario BC perturbations batch via ``solve_poisson_batched``).
+    neumann : optional (n_nodes,) natural-BC boundary load (built with
+        ops/neumann.py helpers), added to F before Dirichlet elimination.
 
     Returns ``u`` of shape (n_nodes,).  Differentiable wrt kappa, f, mesh
     coordinates, and BC values.
@@ -71,11 +74,25 @@ def solve_poisson(
     f = jnp.asarray(f, dtype=mesh.dtype)
     method = _resolve_method(mesh, method)
 
+    # Pure-Neumann problems are singular (constant nullspace) — roundoff can
+    # make the factorization "succeed" with garbage, so refuse eagerly when
+    # the mesh is concrete (traced meshes skip the check).
+    try:
+        if mesh.n_dirichlet == 0:
+            raise ValueError(
+                "mesh has no Dirichlet nodes: the Poisson system is "
+                "singular (constant nullspace). Pin at least one node "
+                "(FEMesh.with_dirichlet) or formulate a regularized solve.")
+    except jax.errors.TracerArrayConversionError:
+        pass
+
     if method in ("tridiag", "tridiag_pallas"):
         if mesh.dim != 1:
             raise ValueError(f"method={method!r} requires a 1D mesh")
         d, e = assemble_tridiag_1d(mesh, kappa)
         F = assemble_load(mesh, f)
+        if neumann is not None:
+            F = F + jnp.asarray(neumann, dtype=mesh.dtype)
         backend = "pallas" if method == "tridiag_pallas" else "xla"
         return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend,
                                               bc_values=bc_values)
@@ -88,12 +105,16 @@ def solve_poisson(
 
     if method == "cg":
         F = assemble_load(mesh, f)
+        if neumann is not None:
+            F = F + jnp.asarray(neumann, dtype=mesh.dtype)
         # custom_vjp functions take positional args only
         return _cg.solve_poisson_cg(mesh, kappa, F, cg_tol, cg_maxiter)
 
     if method in ("dense", "lu"):
         K = assemble_stiffness_dense(mesh, kappa)
         F = assemble_load(mesh, f)
+        if neumann is not None:
+            F = F + jnp.asarray(neumann, dtype=mesh.dtype)
         return solve_dense(mesh, K, F,
                            factor="cholesky" if method == "dense" else "lu")
 
@@ -143,6 +164,10 @@ def solve_poisson_batched(
                                      (kappa.shape[0], mesh.n_elements))
         d, e = assemble_tridiag_1d(mesh, kappa)
         F = assemble_load(mesh, f)
+        neumann = kw.pop("neumann", None)
+        if neumann is not None:
+            # supports batched (B, n) natural-BC loads too
+            F = F + jnp.asarray(neumann, dtype=mesh.dtype)
         lead = jnp.broadcast_shapes(d.shape[:-1], F.shape[:-1],
                                     bc_values.shape[:-1]
                                     if g_batched else ())

@@ -1,0 +1,104 @@
+"""Neumann/flux BC tests (natural BCs — not supported by the reference)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.neumann import boundary_edges, edge_flux_load, point_flux
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+
+
+class TestNeumann1D:
+    @pytest.mark.parametrize("method", ["dense", "tridiag", "cg"])
+    def test_mixed_bc_linear_solution(self, method):
+        """u″=0, u(0)=0, u′(1)=1 → u = x."""
+        mesh = FEMesh.line(n_elements=10, bc_right=None)
+        x = mesh.nodes[:, 0]
+        nm = point_flux(mesh, mesh.n_nodes - 1, 1.0)
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), method=method,
+                          neumann=nm)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x), atol=1e-10)
+
+    def test_with_forcing(self):
+        """−u″=1, u(0)=0, u′(1)=0 → u = x − x²/2."""
+        mesh = FEMesh.line(n_elements=20, bc_right=None)
+        x = mesh.nodes[:, 0]
+        # κu′(1) = 0 → zero flux (still must pass neumann=0 or nothing)
+        u = solve_poisson(mesh, 1.0, jnp.ones_like(x))
+        np.testing.assert_allclose(np.asarray(u),
+                                   np.asarray(x - x ** 2 / 2.0), atol=1e-10)
+
+    def test_kappa_scaled_flux(self):
+        """−(κu′)′=0, κ=2, u(0)=0, κu′(1)=q → u = (q/κ)x."""
+        mesh = FEMesh.line(n_elements=8, bc_right=None)
+        x = mesh.nodes[:, 0]
+        q = 3.0
+        u = solve_poisson(mesh, 2.0, jnp.zeros_like(x),
+                          neumann=point_flux(mesh, mesh.n_nodes - 1, q))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(q / 2.0 * x),
+                                   atol=1e-10)
+
+    def test_batched_fluxes(self):
+        mesh = FEMesh.line(n_elements=10, bc_right=None)
+        x = mesh.nodes[:, 0]
+        B = 4
+        qs = jnp.linspace(0.5, 2.0, B)
+        nm = jnp.zeros((B, mesh.n_nodes)).at[:, -1].set(qs)
+        u = solve_poisson_batched(mesh, 1.0,
+                                  jnp.zeros((B, mesh.n_nodes)), neumann=nm)
+        for b in range(B):
+            np.testing.assert_allclose(np.asarray(u[b]),
+                                       np.asarray(qs[b] * x), atol=1e-10)
+
+    def test_gradient_wrt_flux(self):
+        mesh = FEMesh.line(n_elements=8, bc_right=None)
+
+        def loss(q):
+            nm = point_flux(mesh, mesh.n_nodes - 1, q)
+            u = solve_poisson(mesh, 1.0, jnp.zeros(mesh.n_nodes), neumann=nm)
+            return jnp.sum(u ** 2)
+
+        g = float(jax.grad(loss)(1.0))
+        eps = 1e-6
+        fd = (float(loss(1.0 + eps)) - float(loss(1.0 - eps))) / (2 * eps)
+        assert abs(g - fd) < 1e-6 * max(1.0, abs(fd))
+
+
+class TestNeumann2D:
+    def _left_dirichlet_mesh(self, nx, ny):
+        """Unit square, Dirichlet ONLY on x=0; the rest natural."""
+        full = FEMesh.rectangle(nx=nx, ny=ny)
+        on_left = jnp.isclose(full.nodes[:, 0], 0.0)
+        return FEMesh(nodes=full.nodes, elements=full.elements,
+                      bc_mask=on_left.astype(full.dtype),
+                      bc_values=jnp.zeros(full.n_nodes, full.dtype))
+
+    def test_linear_solution_via_right_edge_flux(self):
+        """−Δu=0, u|_{x=0}=0, ∂u/∂n=1 on x=1, 0 on y=0/1 → u = x."""
+        mesh = self._left_dirichlet_mesh(8, 8)
+        x = mesh.nodes[:, 0]
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        assert len(right) == 8
+        nm = edge_flux_load(mesh, right, jnp.ones(mesh.n_nodes))
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), method="dense",
+                          neumann=nm)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x), atol=1e-10)
+
+    def test_flux_balance(self):
+        """Total Neumann load equals the edge integral ∮g ds = 1·len."""
+        mesh = self._left_dirichlet_mesh(6, 4)
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        nm = edge_flux_load(mesh, right, jnp.ones(mesh.n_nodes))
+        assert abs(float(jnp.sum(nm)) - 1.0) < 1e-12  # edge length 1
+
+    def test_boundary_edges_p2_mesh(self):
+        mesh = FEMesh.rectangle_p2(nx=3, ny=3)
+        edges = boundary_edges(mesh)
+        # P2 vertices form the coarse triangulation: 12 coarse boundary edges
+        assert len(edges) == 12
