@@ -62,37 +62,66 @@ def rollout(
     f_seq: jax.Array,
     dt: float,
     method: str = "auto",
+    theta: float = 1.0,
 ) -> jax.Array:
     """Roll the heat equation H steps; returns the trajectory (H, ..., n).
+
+    θ-scheme:  (M + θΔtK)u_{t+1} = (M − (1−θ)ΔtK)u_t + Δt·F(f_seq[t])
+    with θ=1 backward Euler (default, L-stable) and θ=0.5 Crank–Nicolson
+    (second-order; sample f_seq at the t+θ point for full accuracy).
 
     f_seq: (H, ..., n_nodes) nodal forcing per step (leading batch axes after
     H broadcast against u0).  Differentiable wrt κ, u0, and f_seq through the
     per-step custom-VJP solves; the scan carries ``jax.checkpoint`` so the
     adjoint sweep rematerializes states instead of storing all solver
     internals.
+
+    method: 'tridiag' (1D bands), 'dense' (Cholesky), or 'cg' (matrix-free
+    shifted PCG — the 2D-at-scale path, ops/cg.py:solve_shifted_cg).
     """
     if method == "auto":
-        method = "tridiag" if mesh.dim == 1 else "dense"
+        method = "tridiag" if mesh.dim == 1 else \
+            ("dense" if mesh.n_nodes <= 4096 else "cg")
+    M = assemble_lumped_mass(mesh)
 
     if method == "tridiag":
-        bands = heat_system_tridiag(mesh, kappa, dt)
-        M = assemble_lumped_mass(mesh)
+        dK, eK = assemble_tridiag_1d(mesh, kappa)
+        bands = (M + theta * dt * dK, theta * dt * eK)
 
         @jax.checkpoint
-        def step(u, f_next):
-            u_next = heat_step_tridiag(mesh, bands, M, u, f_next, dt)
+        def step(u, f_t):
+            rhs = M * u + dt * assemble_load(mesh, f_t)
+            if theta < 1.0:
+                from ..ops.tridiag import tridiag_matvec
+                rhs = rhs - (1.0 - theta) * dt * tridiag_matvec(dK, eK, u)
+            u_next = solve_poisson_tridiag(mesh, *bands, rhs)
             return u_next, u_next
 
     elif method == "dense":
         K = assemble_stiffness_dense(mesh, kappa)
-        M = assemble_lumped_mass(mesh)
-        A = jnp.diag(M) + dt * K
+        A = jnp.diag(M) + theta * dt * K
 
         @jax.checkpoint
-        def step(u, f_next):
-            rhs = M * u + dt * assemble_load(mesh, f_next)
+        def step(u, f_t):
+            rhs = M * u + dt * assemble_load(mesh, f_t)
+            if theta < 1.0:
+                rhs = rhs - (1.0 - theta) * dt * (K @ u)
             A_mod, rhs_mod = apply_dirichlet_dense(mesh, A, rhs)
             u_next = cholesky_solve(A_mod, rhs_mod)
+            return u_next, u_next
+
+    elif method == "cg":
+        from ..ops.assembly import stiffness_apply
+        from ..ops.cg import solve_shifted_cg
+        tau = theta * dt
+
+        @jax.checkpoint
+        def step(u, f_t):
+            rhs = M * u + dt * assemble_load(mesh, f_t)
+            if theta < 1.0:
+                rhs = rhs - (1.0 - theta) * dt * stiffness_apply(
+                    mesh, kappa, u)
+            u_next = solve_shifted_cg(mesh, kappa, M, tau, rhs)
             return u_next, u_next
 
     else:

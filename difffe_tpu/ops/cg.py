@@ -178,3 +178,72 @@ def _cg_bwd(tol, maxiter, res, g):
 
 
 solve_poisson_cg.defvjp(_cg_fwd, _cg_bwd)
+
+
+# --------------------------------------------------------------------------
+# Shifted solve (diag(mass) + τ·K)u = F — the implicit-time-step system of
+# control/heat.py at 2D scale (matrix-free, never materializes M + τK).
+# --------------------------------------------------------------------------
+
+def _shifted_operator(mesh, kappa, mass, tau, v):
+    m = mesh.bc_mask
+    p = 1.0 - m
+    pv = p * v
+    return m * v + p * (mass * pv + tau * stiffness_apply(mesh, kappa, pv))
+
+
+def _shifted_rhs(mesh, kappa, mass, tau, F):
+    m = mesh.bc_mask
+    g = mesh.bc_values
+    p = 1.0 - m
+    mg = m * g
+    return mg + p * (F - (mass * mg + tau * stiffness_apply(mesh, kappa, mg)))
+
+
+def _shifted_jacobi(mesh, kappa, mass, tau):
+    m = mesh.bc_mask
+    diagA = m + (1.0 - m) * (mass + tau * stiffness_diag(mesh, kappa))
+    return 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+
+
+def _shifted_impl(mesh, kappa, mass, tau, F, tol, maxiter):
+    maxiter = maxiter if maxiter is not None else mesh.n_nodes
+    b = _shifted_rhs(mesh, kappa, mass, tau, F)
+    Minv = _shifted_jacobi(mesh, kappa, mass, tau)
+    x0 = jnp.broadcast_to(mesh.bc_mask * mesh.bc_values, b.shape)
+    return _pcg(lambda v: _shifted_operator(mesh, kappa, mass, tau, v),
+                b, Minv, x0, tol, maxiter)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def solve_shifted_cg(mesh: FEMesh, kappa, mass: jax.Array, tau,
+                     F: jax.Array, tol: float = 0.0,
+                     maxiter: Optional[int] = None) -> jax.Array:
+    """Solve (diag(mass) + τ·K(κ))u = F with Dirichlet elimination, by
+    matrix-free Jacobi-PCG; IFT adjoint (gradients to κ, mass, τ, F,
+    mesh geometry and BC values)."""
+    return _shifted_impl(mesh, kappa, mass, tau, F, tol, maxiter)
+
+
+def _shifted_fwd(mesh, kappa, mass, tau, F, tol, maxiter):
+    u = _shifted_impl(mesh, kappa, mass, tau, F, tol, maxiter)
+    return u, (mesh, kappa, mass, tau, F, u)
+
+
+def _shifted_bwd(tol, maxiter, res, g):
+    mesh, kappa, mass, tau, F, u = res
+    maxit = maxiter if maxiter is not None else mesh.n_nodes
+    Minv = _shifted_jacobi(mesh, kappa, mass, tau)
+    lam = _pcg(lambda v: _shifted_operator(mesh, kappa, mass, tau, v),
+               g, Minv, jnp.zeros_like(g), tol, maxit)
+
+    def residual(mesh_, kappa_, mass_, tau_, F_):
+        u_fixed = jax.lax.stop_gradient(u)
+        return (_shifted_rhs(mesh_, kappa_, mass_, tau_, F_)
+                - _shifted_operator(mesh_, kappa_, mass_, tau_, u_fixed))
+
+    _, vjp = jax.vjp(residual, mesh, kappa, mass, tau, F)
+    return vjp(lam)
+
+
+solve_shifted_cg.defvjp(_shifted_fwd, _shifted_bwd)

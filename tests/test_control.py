@@ -191,3 +191,56 @@ class TestBatchedMPC:
         q1, _ = plan_1(u0[2], q0[2])
         np.testing.assert_allclose(np.asarray(qb[2]), np.asarray(q1),
                                    atol=1e-10)
+
+
+class TestThetaSchemeAndCG:
+    def test_crank_nicolson_more_accurate(self):
+        """CN (theta=0.5) beats backward Euler on the analytic decay."""
+        mesh = FEMesh.line(n_elements=64)
+        x = mesh.nodes[:, 0]
+        u0 = jnp.sin(jnp.pi * x)
+        dt, H = 2e-3, 50
+        t_end = H * dt
+        exact = float(jnp.exp(-jnp.pi ** 2 * t_end))
+        mid = mesh.n_nodes // 2
+        zeros = jnp.zeros((H, mesh.n_nodes))
+        r_be = float(rollout(mesh, 1.0, u0, zeros, dt, theta=1.0)[-1, mid])
+        r_cn = float(rollout(mesh, 1.0, u0, zeros, dt, theta=0.5)[-1, mid])
+        err_be = abs(r_be / float(u0[mid]) - exact)
+        err_cn = abs(r_cn / float(u0[mid]) - exact)
+        assert err_cn < err_be / 5.0, f"BE {err_be:.2e} CN {err_cn:.2e}"
+
+    def test_cg_rollout_matches_dense_2d(self):
+        mesh = FEMesh.rectangle(nx=6, ny=6)
+        u0 = jnp.zeros(mesh.n_nodes)
+        f_seq = jnp.ones((15, mesh.n_nodes))
+        t_d = rollout(mesh, 1.3, u0, f_seq, dt=2e-3, method="dense")
+        t_c = rollout(mesh, 1.3, u0, f_seq, dt=2e-3, method="cg")
+        np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_d),
+                                   atol=1e-8)
+
+    def test_cg_rollout_gradient(self):
+        mesh = FEMesh.rectangle(nx=4, ny=4)
+        u0 = jnp.zeros(mesh.n_nodes)
+        f_seq = jnp.ones((8, mesh.n_nodes))
+
+        def loss(k):
+            traj = rollout(mesh, k, u0, f_seq, dt=2e-3, method="cg")
+            return jnp.sum(traj[-1] ** 2)
+
+        g = float(jax.grad(loss)(1.0))
+        eps = 1e-5
+        fd = (float(loss(1.0 + eps)) - float(loss(1.0 - eps))) / (2 * eps)
+        assert abs(g - fd) < 1e-5 * max(1.0, abs(fd))
+
+    def test_cn_tridiag_matches_cn_dense(self):
+        mesh = FEMesh.line(n_elements=16)
+        x = mesh.nodes[:, 0]
+        u0 = jnp.sin(jnp.pi * x)
+        f_seq = jnp.broadcast_to(jnp.cos(x), (10, mesh.n_nodes))
+        t1 = rollout(mesh, 1.2, u0, f_seq, dt=1e-3, method="tridiag",
+                     theta=0.5)
+        t2 = rollout(mesh, 1.2, u0, f_seq, dt=1e-3, method="dense",
+                     theta=0.5)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                   atol=1e-10)
