@@ -33,10 +33,12 @@ def main():
     key = jax.random.PRNGKey(0)
     k_true = 1.0 + jax.random.uniform(key, (BATCH,), dtype) * 2.0
     f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (BATCH, mesh.n_nodes))
-    u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag")
+    u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                   kappa_batched=True)
 
     def loss_fn(log_k):
-        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method="tridiag")
+        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method="tridiag",
+                                  kappa_batched=True)
         return jnp.mean((u - u_data) ** 2)
 
     grad_step = jax.jit(jax.value_and_grad(loss_fn))

@@ -43,11 +43,12 @@ def main():
         key = jax.random.PRNGKey(0)
         k_true = 1.0 + jax.random.uniform(key, (B,), jnp.float32) * 2.0
         f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
-        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag")
+        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                       kappa_batched=True)
 
         def loss_fn(log_k):
             u = solve_poisson_batched(mesh, jnp.exp(log_k), f,
-                                      method="tridiag")
+                                      method="tridiag", kappa_batched=True)
             return jnp.mean((u - u_data) ** 2)
 
         step = jax.jit(jax.value_and_grad(loss_fn))
@@ -89,7 +90,7 @@ def main():
         fB = jnp.broadcast_to(jnp.sin(jnp.pi * x30) + 1.0,
                               (4, mesh30.n_nodes))
         kt = jnp.asarray([0.7, 1.3, 2.0, 2.9], jnp.float64)
-        ud = solve_poisson_batched(mesh30, kt, fB)
+        ud = solve_poisson_batched(mesh30, kt, fB, kappa_batched=True)
         kr, _ = recover_kappa_scalar(mesh30, fB, ud, adam_steps=100,
                                      newton_steps=8)
         results["kappa_recovery_max_error"] = float(

@@ -72,14 +72,15 @@ def run_scenario(cfg, log=print):
         # (batched) κ-recovery inverse problem
         import optax
         B = cfg.batch
-        x = mesh.nodes[:, 0] if mesh.dim == 1 else mesh.nodes[:, 0]
+        x = mesh.nodes[:, 0]
         k_true = 1.0 + jax.random.uniform(key, (B,), mesh.dtype) * 2.0
         f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
-        u_data = solve_poisson_batched(mesh, k_true, f, method=cfg.method)
+        u_data = solve_poisson_batched(mesh, k_true, f, method=cfg.method,
+                                       kappa_batched=True)
 
         def loss_fn(log_k):
             u = solve_poisson_batched(mesh, jnp.exp(log_k), f,
-                                      method=cfg.method)
+                                      method=cfg.method, kappa_batched=True)
             return jnp.mean((u - u_data) ** 2)
 
         opt = optax.adam(cfg.lr)
@@ -149,10 +150,12 @@ def bench_scenario(cfg, log=print):
     x = mesh.nodes[:, 0]
     k_true = 1.0 + jax.random.uniform(key, (B,), mesh.dtype) * 2.0
     f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
-    u_data = solve_poisson_batched(mesh, k_true, f, method=cfg.method)
+    u_data = solve_poisson_batched(mesh, k_true, f, method=cfg.method,
+                                   kappa_batched=True)
 
     def loss_fn(log_k):
-        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method=cfg.method)
+        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method=cfg.method,
+                                  kappa_batched=True)
         return jnp.mean((u - u_data) ** 2)
 
     step = jax.jit(jax.value_and_grad(loss_fn))

@@ -80,7 +80,8 @@ def rollout(
     shifted PCG — the 2D-at-scale path, ops/cg.py:solve_shifted_cg).
     """
     if method == "auto":
-        method = "tridiag" if mesh.dim == 1 else \
+        from ..ops.assembly import element_family
+        method = "tridiag" if element_family(mesh) == "p1_line" else \
             ("dense" if mesh.n_nodes <= 4096 else "cg")
     M = assemble_lumped_mass(mesh)
 

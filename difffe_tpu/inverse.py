@@ -48,7 +48,8 @@ def recover_kappa_scalar(
         else jnp.log(jnp.asarray(kappa0, dtype))
 
     def per_scenario_loss(log_k):
-        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method=method)
+        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method=method,
+                                  kappa_batched=True)
         return jnp.mean((u - u_data) ** 2, axis=-1)      # (B,)
 
     total_loss = lambda lk: jnp.sum(per_scenario_loss(lk))

@@ -190,12 +190,13 @@ class FEMesh:
         # Interleave to match reference element ordering: [low_0, up_0, low_1, ...]
         elements = jnp.stack([lower, upper], axis=1).reshape(-1, 3)
 
-        on_bnd = (
-            jnp.isclose(nodes[:, 0], x_range[0])
-            | jnp.isclose(nodes[:, 0], x_range[1])
-            | jnp.isclose(nodes[:, 1], y_range[0])
-            | jnp.isclose(nodes[:, 1], y_range[1])
-        )
+        # Boundary detection by INDEX, not coordinates: coordinate isclose
+        # tests misclassify nodes on tiny or large-offset domains (default
+        # rtol 1e-5 of a 1e7 offset swallows whole rows of nodes).
+        rows = jnp.arange(NY := ny + 1, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(NX := nx + 1, dtype=jnp.int32)[None, :]
+        on_bnd = ((rows == 0) | (rows == ny)
+                  | (cols == 0) | (cols == nx)).ravel()
         bc_mask = on_bnd.astype(dtype)
         bc_values = bc_mask * jnp.asarray(bc_value, dtype=dtype)
         return cls(nodes=nodes, elements=elements, bc_mask=bc_mask,

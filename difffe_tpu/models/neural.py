@@ -81,12 +81,46 @@ def boundary_mask(mesh: FEMesh) -> jax.Array:
     return 1.0 - mesh.bc_mask
 
 
+def boundary_mask_at(mesh: FEMesh, x: jax.Array) -> jax.Array:
+    """Evaluate the lifting mask at arbitrary query points x (N, dim).
+
+    The nodal mask (``boundary_mask``) is positional — valid only at mesh
+    nodes.  For off-node queries the 1D polynomial mask has an analytic
+    form; the 2D binary indicator does not (use
+    models/collocation.smooth_mask_fn for mesh-free 2D work).
+    """
+    if mesh.dim != 1:
+        raise NotImplementedError(
+            "off-node mask evaluation is only defined for 1D meshes (the "
+            "2D mask is a nodal indicator, reference neural.py:95-101); "
+            "use models.collocation.smooth_mask_fn for smooth 2D masks")
+    xm = mesh.nodes[:, 0]
+    bc_idx = jnp.nonzero(mesh.bc_mask > 0.5, size=mesh.n_nodes,
+                         fill_value=-1)[0]
+    n_bc = int(jnp.sum(mesh.bc_mask > 0.5))
+    if n_bc < 2:
+        return jnp.ones(x.shape[:-1], dtype=mesh.dtype)
+    a = xm[bc_idx[0]]
+    b = xm[bc_idx[n_bc - 1]]
+    raw_nodal = (xm - a) * (b - xm)
+    norm = jnp.max(jnp.abs(raw_nodal)) + 1e-12
+    xq = x[..., 0]
+    return (xq - a) * (b - xq) / norm
+
+
 def neural_pde_forward(params: Params, mesh: FEMesh, mask: jax.Array,
                        x: Optional[jax.Array] = None) -> jax.Array:
-    """u(x) = φ(x)·net(x) at mesh nodes (reference neural.py:59-76)."""
+    """u(x) = φ(x)·net(x) (reference neural.py:59-76).
+
+    With ``x=None`` (the default — every training/eval path) the precomputed
+    nodal mask applies.  With explicit query points the mask is re-evaluated
+    AT those points (the reference applies the nodal mask positionally to
+    whatever x you pass, silently zeroing interior predictions —
+    neural.py:75; fixed here).
+    """
     if x is None:
-        x = mesh.nodes
-    return mask * apply_mlp(params, x)
+        return mask * apply_mlp(params, mesh.nodes)
+    return boundary_mask_at(mesh, x) * apply_mlp(params, x)
 
 
 # --------------------------------------------------------------------------
@@ -170,7 +204,9 @@ def train_pde_batched(
     # FEM targets for all scenarios in one batched solve
     from ..solver import solve_poisson_batched
     u_fem = jax.lax.stop_gradient(
-        solve_poisson_batched(mesh, kappa, f_batch))
+        solve_poisson_batched(
+            mesh, kappa, f_batch,
+            kappa_batched=(kappa.ndim >= 1 and kappa.shape[0] == B)))
 
     opt = optax.adam(lr)
 

@@ -92,7 +92,11 @@ def _p2_shape_gradients(b, c, area, lam):
       vertex a: ∇N_a = (4λ_a − 1)∇λ_a;  edge (a,b): 4(λ_a∇λ_b + λ_b∇λ_a),
     with ∇λ_a = (b_a, c_a)/(2A).
     """
-    inv2A = 1.0 / (2.0 * area)                        # (ne,)
+    # safe divide: degenerate triangles would give inf gradients whose
+    # 0·inf = NaN survives the later zero-mask (the P1 path guards the same
+    # way, assembly.py safe_area)
+    safe_area = jnp.where(area < DEGENERATE_AREA_TOL, 1.0, area)
+    inv2A = 1.0 / (2.0 * safe_area)                   # (ne,)
     grad_lam = jnp.stack([b, c], axis=-1) * inv2A[:, None, None]  # (ne,3,2)
     lam = lam[None, :, None]                          # (1, 3, 1)
     vert = (4.0 * lam - 1.0) * grad_lam               # (ne, 3, 2)
@@ -202,12 +206,11 @@ def rectangle_p2(nx: int = 4, ny: int = 4, x_range=(0.0, 1.0),
     upper = jnp.stack([bb, cc, d, m_bc, m_cd, m_bd], axis=1)
     elements = jnp.stack([lower, upper], axis=1).reshape(-1, 6)
 
-    on_bnd = (
-        jnp.isclose(nodes[:, 0], x_range[0])
-        | jnp.isclose(nodes[:, 0], x_range[1])
-        | jnp.isclose(nodes[:, 1], y_range[0])
-        | jnp.isclose(nodes[:, 1], y_range[1])
-    )
+    # index-based boundary detection (see FEMesh.rectangle for rationale)
+    rows = jnp.arange(NY, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(NX, dtype=jnp.int32)[None, :]
+    on_bnd = ((rows == 0) | (rows == NY - 1)
+              | (cols == 0) | (cols == NX - 1)).ravel()
     bc_mask = on_bnd.astype(dtype)
     bc_values = bc_mask * jnp.asarray(bc_value, dtype=dtype)
     return FEMesh(nodes=nodes, elements=elements, bc_mask=bc_mask,

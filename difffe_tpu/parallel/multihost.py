@@ -22,18 +22,24 @@ import jax.numpy as jnp
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initialize multi-host JAX; no-op when already initialized or
-    single-process (env-based auto-detection on TPU pods)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Initialize multi-host JAX.
+
+    Must run before any other JAX call (``jax.distributed.initialize``
+    refuses once the XLA backend exists) — so this probes nothing first and
+    only swallows the benign already-initialized error; genuine failures
+    (wrong coordinator, backend already up) propagate instead of silently
+    degrading every process to an independent single-host job.
+    """
+    if coordinator_address is None:
+        return  # single process / TPU pods auto-init via env
     try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(coordinator_address=coordinator_address,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        # else: single process — nothing to do (TPU pods auto-init via env)
-    except RuntimeError:
-        pass  # already initialized
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def is_primary() -> bool:

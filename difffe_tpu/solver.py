@@ -127,6 +127,7 @@ def solve_poisson_batched(
     f: jax.Array,
     method: str = "auto",
     bc_values=None,
+    kappa_batched: Optional[bool] = None,
     **kw,
 ) -> jax.Array:
     """Batched scenarios: κ (B, …), f (B, n_nodes), and/or Dirichlet values
@@ -136,20 +137,40 @@ def solve_poisson_batched(
     forcings, and BC perturbations are exactly the three scenario axes the
     north star names (BASELINE.json; SURVEY.md §2b 'scenario-batch
     parallelism').
+
+    A 1-D κ of length B is a batch of per-scenario scalars; of length
+    n_elements/n_nodes it is one shared field.  When B happens to equal
+    n_elements or n_nodes the two readings collide — pass
+    ``kappa_batched=True/False`` explicitly (the ambiguity raises rather
+    than guessing).
     """
     kappa = jnp.asarray(kappa, dtype=mesh.dtype)
     f = jnp.asarray(f, dtype=mesh.dtype)
     if bc_values is not None:
         bc_values = jnp.asarray(bc_values, dtype=mesh.dtype)
-    # κ counts as batched when it has a leading scenario axis: (B,) of
-    # per-scenario scalars (B ≠ n_elements/n_nodes to disambiguate), or
-    # (B, n_elements) / (B, n_nodes) fields.
-    k_batched = kappa.ndim == 2 or (
-        kappa.ndim == 1
-        and kappa.shape[0] not in (mesh.n_elements, mesh.n_nodes)
-    )
     f_batched = f.ndim >= 2
     g_batched = bc_values is not None and bc_values.ndim >= 2
+
+    if kappa_batched is not None:
+        k_batched = kappa_batched and kappa.ndim >= 1
+    elif kappa.ndim == 2:
+        k_batched = True
+    elif kappa.ndim == 1:
+        L = kappa.shape[0]
+        looks_field = L in (mesh.n_elements, mesh.n_nodes)
+        batch_sizes = ({f.shape[0]} if f_batched else set()) | (
+            {bc_values.shape[0]} if g_batched else set())
+        looks_batch = (not batch_sizes and not looks_field) or \
+            (L in batch_sizes)
+        if looks_field and looks_batch:
+            raise ValueError(
+                f"ambiguous 1-D kappa of length {L}: could be a shared "
+                f"per-element/per-node field or B={L} per-scenario scalars "
+                f"— pass kappa_batched=True (scalars) or False (field)")
+        k_batched = looks_batch and not looks_field
+    else:
+        k_batched = False
+
     if not (k_batched or f_batched or g_batched):
         return solve_poisson(mesh, kappa, f, method=method,
                              bc_values=bc_values, **kw)
@@ -178,12 +199,17 @@ def solve_poisson_batched(
         return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend,
                                               bc_values=bc_values)
 
-    fn = lambda k, ff, g: solve_poisson(mesh, k, ff, method=method,
-                                        bc_values=g, **kw)
+    neumann = kw.pop("neumann", None)
+    if neumann is not None:
+        neumann = jnp.asarray(neumann, dtype=mesh.dtype)
+    nm_batched = neumann is not None and neumann.ndim >= 2
+    fn = lambda k, ff, g, nm: solve_poisson(mesh, k, ff, method=method,
+                                            bc_values=g, neumann=nm, **kw)
     return jax.vmap(fn, in_axes=(0 if k_batched else None,
                                  0 if f_batched else None,
-                                 0 if g_batched else None))(
-        kappa, f, bc_values)
+                                 0 if g_batched else None,
+                                 0 if nm_batched else None))(
+        kappa, f, bc_values, neumann)
 
 
 class DifferentiableFESolver:

@@ -68,14 +68,27 @@ def test_kill_and_resume_reproduces_trajectory(tmp_path):
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
     script = WORKER.replace("@REPO@", repo)
 
-    def run(ckdir, steps, slow, kill_after=None):
+    def run(ckdir, steps, slow, kill_mid_run=False):
         proc = subprocess.Popen(
             [sys.executable, "-c", script, str(ckdir), str(steps),
              "1" if slow else "0"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             text=True)
-        if kill_after is not None:
-            time.sleep(kill_after)
+        if kill_mid_run:
+            # gate the SIGKILL on OBSERVED checkpoint progress (a fixed
+            # wall-clock delay races compile speed and machine load)
+            from difffe_tpu.utils import CheckpointManager
+            mgr = CheckpointManager(str(ckdir))
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                latest = mgr.latest_step()
+                if latest is not None and 3 <= latest < steps - 5:
+                    break
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        "worker finished before the kill window opened — "
+                        "increase per-step sleep in WORKER")
+                time.sleep(0.05)
             proc.kill()          # SIGKILL — no cleanup, mid-step
             proc.wait()
             return None
@@ -91,11 +104,11 @@ def test_kill_and_resume_reproduces_trajectory(tmp_path):
 
     # interrupted run: kill while it is mid-training, then resume
     ckdir = tmp_path / "victim"
-    run(ckdir, 30, slow=True, kill_after=12.0)
+    run(ckdir, 30, slow=True, kill_mid_run=True)
     from difffe_tpu.utils import CheckpointManager
     latest = CheckpointManager(str(ckdir)).latest_step()
     assert latest is not None and latest < 30, (
-        f"kill landed after completion (latest={latest}); widen window")
+        f"kill landed after completion (latest={latest})")
 
     k_resumed = run(ckdir, 30, slow=False)
     assert abs(k_resumed - k_ref) < 1e-12, (

@@ -1,0 +1,136 @@
+"""Regression tests for the defects found in the round-1 self-review."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+
+
+class TestKappaBatchAmbiguity:
+    def test_ambiguous_length_raises(self):
+        """B == n_elements collision must raise, not silently guess."""
+        mesh = FEMesh.line(n_elements=8)
+        kappa = jnp.linspace(0.5, 2.0, 8)          # B=8 == n_elements=8
+        f = jnp.ones((8, mesh.n_nodes))
+        with pytest.raises(ValueError, match="ambiguous"):
+            solve_poisson_batched(mesh, kappa, f)
+
+    def test_explicit_batched_true(self):
+        mesh = FEMesh.line(n_elements=8)
+        kappa = jnp.linspace(0.5, 2.0, 8)
+        f = jnp.ones((8, mesh.n_nodes))
+        u = solve_poisson_batched(mesh, kappa, f, kappa_batched=True)
+        u_ref = jnp.stack([solve_poisson(mesh, kappa[b], f[b])
+                           for b in range(8)])
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-12)
+
+    def test_explicit_batched_false_shared_field(self):
+        mesh = FEMesh.line(n_elements=8)
+        kappa = jnp.linspace(0.5, 2.0, 8)          # one per-element field
+        f = jnp.ones((8, mesh.n_nodes))
+        u = solve_poisson_batched(mesh, kappa, f, kappa_batched=False)
+        u_ref = jnp.stack([solve_poisson(mesh, kappa, f[b])
+                           for b in range(8)])
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-12)
+
+    def test_unambiguous_inference_unchanged(self):
+        mesh = FEMesh.line(n_elements=8)
+        kappa = jnp.linspace(0.5, 2.0, 5)          # B=5 ≠ 8, 9
+        f = jnp.ones((5, mesh.n_nodes))
+        u = solve_poisson_batched(mesh, kappa, f)
+        assert u.shape == (5, mesh.n_nodes)
+
+
+class TestBoundaryDetectionByIndex:
+    def test_tiny_domain(self):
+        m = FEMesh.rectangle(nx=4, ny=4, x_range=(0, 1e-8),
+                             y_range=(0, 1e-8))
+        assert m.n_dirichlet == 16                 # not all 25
+
+    def test_large_offset_domain(self):
+        m = FEMesh.rectangle(nx=64, ny=4, x_range=(1e7, 1e7 + 1.0))
+        assert m.n_dirichlet == 2 * 65 + 2 * 3     # boundary ring only
+
+    def test_p2_tiny_domain(self):
+        m = FEMesh.rectangle_p2(nx=2, ny=2, x_range=(0, 1e-8),
+                                y_range=(0, 1e-8))
+        assert m.n_dirichlet == 16                 # 5x5 lattice ring
+
+
+class TestP2DegenerateTriangle:
+    def test_no_nan_from_zero_area(self):
+        base = FEMesh.rectangle_p2(nx=2, ny=2)
+        bad = jnp.zeros((1, 6), jnp.int32)         # all-same-node triangle
+        mesh = FEMesh(nodes=base.nodes,
+                      elements=jnp.concatenate([base.elements, bad]),
+                      bc_mask=base.bc_mask, bc_values=base.bc_values)
+        from difffe_tpu.ops.assembly import assemble_stiffness_dense
+        K = assemble_stiffness_dense(mesh, 1.0)
+        assert np.isfinite(np.asarray(K)).all()
+        K_ref = assemble_stiffness_dense(base, 1.0)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref),
+                                   atol=1e-12)
+
+
+class TestMaskAtQueryPoints:
+    def test_interior_queries_not_zeroed(self):
+        from difffe_tpu.models.neural import NeuralPDE
+        mesh = FEMesh.line(n_elements=10)
+        model = NeuralPDE(mesh, hidden_dim=8, n_layers=1)
+        xq = jnp.linspace(0.2, 0.3, 11)[:, None]   # strictly interior
+        u = model(xq)
+        assert u.shape == (11,)
+        # net output is generically nonzero; the old positional-mask bug
+        # forced u[0] == 0 exactly (boundary node's mask applied to x=0.2)
+        assert abs(float(u[0])) > 1e-8 or abs(float(u[5])) > 1e-8
+        # true boundary queries DO vanish
+        ub = model(jnp.array([[0.0], [1.0]]))
+        np.testing.assert_allclose(np.asarray(ub), 0.0, atol=1e-12)
+
+    def test_2d_off_node_queries_raise(self):
+        from difffe_tpu.models.neural import NeuralPDE
+        mesh = FEMesh.rectangle(nx=3, ny=3)
+        model = NeuralPDE(mesh, hidden_dim=8, n_layers=1)
+        with pytest.raises(NotImplementedError, match="smooth_mask_fn"):
+            model(jnp.array([[0.5, 0.5]]))
+
+
+class TestHeatRolloutP2Dispatch:
+    def test_p2_line_rollout_auto(self):
+        from difffe_tpu.control import rollout
+        mesh = FEMesh.line_p2(n_elements=8)
+        x = mesh.nodes[:, 0]
+        u0 = jnp.sin(jnp.pi * x)
+        traj = rollout(mesh, 1.0, u0, jnp.zeros((10, mesh.n_nodes)),
+                       dt=1e-3)
+        assert np.isfinite(np.asarray(traj)).all()
+        assert float(jnp.linalg.norm(traj[-1])) < float(jnp.linalg.norm(u0))
+
+
+class TestBatchedNeumann2D:
+    def test_batched_neumann_dense_path(self):
+        """(B, n) Neumann loads through the vmap fallback (2D/dense)."""
+        full = FEMesh.rectangle(nx=4, ny=4)
+        on_left = jnp.isclose(full.nodes[:, 0], 0.0)
+        mesh = FEMesh(nodes=full.nodes, elements=full.elements,
+                      bc_mask=on_left.astype(full.dtype),
+                      bc_values=jnp.zeros(full.n_nodes, full.dtype))
+        from difffe_tpu.ops.neumann import boundary_edges, edge_flux_load
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        B = 3
+        qs = jnp.linspace(1.0, 3.0, B)
+        nm = jnp.stack([edge_flux_load(mesh, right,
+                                       q * jnp.ones(mesh.n_nodes))
+                        for q in qs])
+        f = jnp.zeros((B, mesh.n_nodes))
+        u = solve_poisson_batched(mesh, 1.0, f, method="dense", neumann=nm)
+        x = mesh.nodes[:, 0]
+        for b in range(B):
+            np.testing.assert_allclose(np.asarray(u[b]),
+                                       np.asarray(qs[b] * x), atol=1e-9)
