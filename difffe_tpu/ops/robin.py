@@ -1,0 +1,103 @@
+"""Robin (third-kind) boundary conditions: κ∂u/∂n + αu = r on Γ_R.
+
+Completes the BC triad (Dirichlet: mesh masks; Neumann: ops/neumann.py).
+Weak form: the Robin boundary adds ∮ αuv ds to the STIFFNESS and ∮ rv ds
+to the load —
+
+    ∫κ∇u·∇v + ∮_{Γ_R} αuv ds = ∫fv + ∮_{Γ_R} rv ds
+
+represented here as a static COO triplet (rows, cols, vals) + load vector,
+registered as a pytree so α and r stay differentiable.
+
+Support matrix: dense/LU solves (1D + 2D, any element family via vertex
+edges), tridiagonal 1D (point Robin is diagonal-only).  The matrix-free CG
+path does not accept Robin terms yet — ``solve_poisson`` raises if asked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import FEMesh
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RobinBC:
+    """COO boundary-stiffness triplet + boundary load (all differentiable).
+
+    ``diagonal_only`` is STATIC metadata set by the constructors (a runtime
+    check would concretize traced index arrays under jit).
+    """
+
+    rows: jax.Array   # (K,) int32
+    cols: jax.Array   # (K,) int32
+    vals: jax.Array   # (K,) float — entries of ∮ α N_i N_j ds
+    load: jax.Array   # (n_nodes,) — ∮ r N_i ds
+    diagonal_only: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+
+def robin_point(mesh: FEMesh, node: int, alpha, r) -> RobinBC:
+    """1D Robin at a boundary node: K[node,node] += α, F[node] += r."""
+    dtype = mesh.dtype
+    load = jnp.zeros(mesh.n_nodes, dtype).at[node].add(
+        jnp.asarray(r, dtype))
+    return RobinBC(
+        rows=jnp.asarray([node], jnp.int32),
+        cols=jnp.asarray([node], jnp.int32),
+        vals=jnp.asarray(alpha, dtype)[None],
+        load=load,
+        diagonal_only=True,
+    )
+
+
+def robin_edges(mesh: FEMesh, edges, alpha, r_nodal) -> RobinBC:
+    """2D Robin over boundary edges (i, j).
+
+    Per P1 edge of length L: boundary mass α·L/6·[[2,1],[1,2]] and
+    consistent load L/6·[2r_i + r_j, r_i + 2r_j].
+    alpha: scalar or per-edge (E,); r_nodal: (n_nodes,) values of r.
+    """
+    dtype = mesh.dtype
+    edges = jnp.asarray(edges, dtype=jnp.int32)
+    alpha = jnp.broadcast_to(jnp.asarray(alpha, dtype), (edges.shape[0],))
+    r_nodal = jnp.asarray(r_nodal, dtype)
+    pi = mesh.nodes[edges[:, 0]]
+    pj = mesh.nodes[edges[:, 1]]
+    L = jnp.linalg.norm(pj - pi, axis=-1)                # (E,)
+
+    i, j = edges[:, 0], edges[:, 1]
+    m_diag = alpha * L / 3.0      # 2·L/6
+    m_off = alpha * L / 6.0
+    rows = jnp.concatenate([i, j, i, j])
+    cols = jnp.concatenate([i, j, j, i])
+    vals = jnp.concatenate([m_diag, m_diag, m_off, m_off])
+
+    ri, rj = r_nodal[i], r_nodal[j]
+    load = jnp.zeros(mesh.n_nodes, dtype)
+    load = load.at[i].add(L / 6.0 * (2.0 * ri + rj))
+    load = load.at[j].add(L / 6.0 * (ri + 2.0 * rj))
+    return RobinBC(rows=rows, cols=cols, vals=vals, load=load)
+
+
+def robin_matrix_dense(mesh: FEMesh, rb: RobinBC) -> jax.Array:
+    """Dense (n, n) boundary-stiffness contribution."""
+    K = jnp.zeros((mesh.n_nodes, mesh.n_nodes), dtype=mesh.dtype)
+    return K.at[rb.rows, rb.cols].add(rb.vals)
+
+
+def robin_apply(rb: RobinBC, u: jax.Array) -> jax.Array:
+    """Matrix-free boundary-stiffness apply (for custom operators)."""
+    out = jnp.zeros_like(u)
+    return out.at[..., rb.rows].add(rb.vals * u[..., rb.cols])
+
+
+def robin_diag(mesh: FEMesh, rb: RobinBC) -> jax.Array:
+    """Diagonal of the boundary stiffness (tridiagonal 1D path)."""
+    mask = (rb.rows == rb.cols).astype(mesh.dtype)
+    out = jnp.zeros(mesh.n_nodes, dtype=mesh.dtype)
+    return out.at[rb.rows].add(mask * rb.vals)

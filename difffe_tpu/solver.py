@@ -55,6 +55,7 @@ def solve_poisson(
     cg_maxiter: Optional[int] = None,
     bc_values=None,
     neumann=None,
+    robin=None,
 ) -> jax.Array:
     """Solve −∇·(κ∇u) = f on ``mesh`` with its Dirichlet BCs.
 
@@ -67,6 +68,9 @@ def solve_poisson(
         (per-scenario BC perturbations batch via ``solve_poisson_batched``).
     neumann : optional (n_nodes,) natural-BC boundary load (built with
         ops/neumann.py helpers), added to F before Dirichlet elimination.
+    robin : optional ops/robin.py RobinBC — adds the ∮αuv ds boundary
+        stiffness and ∮rv ds load (dense/lu always; tridiag when
+        diagonal-only, i.e. 1D point Robin; cg not supported).
 
     Returns ``u`` of shape (n_nodes,).  Differentiable wrt kappa, f, mesh
     coordinates, and BC values.
@@ -93,6 +97,14 @@ def solve_poisson(
         F = assemble_load(mesh, f)
         if neumann is not None:
             F = F + jnp.asarray(neumann, dtype=mesh.dtype)
+        if robin is not None:
+            if not robin.diagonal_only:
+                raise ValueError("tridiagonal path supports diagonal-only "
+                                 "Robin terms (1D point Robin); use "
+                                 "method='dense' for edge Robin")
+            from .ops.robin import robin_diag
+            d = d + robin_diag(mesh, robin)
+            F = F + robin.load
         backend = "pallas" if method == "tridiag_pallas" else "xla"
         return _tridiag.solve_poisson_tridiag(mesh, d, e, F, backend=backend,
                                               bc_values=bc_values)
@@ -104,6 +116,9 @@ def solve_poisson(
                            bc_values=jnp.asarray(bc_values, mesh.dtype))
 
     if method == "cg":
+        if robin is not None:
+            raise ValueError("Robin BCs are not supported on the matrix-"
+                             "free CG path yet; use method='dense'")
         F = assemble_load(mesh, f)
         if neumann is not None:
             F = F + jnp.asarray(neumann, dtype=mesh.dtype)
@@ -115,6 +130,10 @@ def solve_poisson(
         F = assemble_load(mesh, f)
         if neumann is not None:
             F = F + jnp.asarray(neumann, dtype=mesh.dtype)
+        if robin is not None:
+            from .ops.robin import robin_matrix_dense
+            K = K + robin_matrix_dense(mesh, robin)
+            F = F + robin.load
         return solve_dense(mesh, K, F,
                            factor="cholesky" if method == "dense" else "lu")
 

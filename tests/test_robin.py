@@ -1,0 +1,95 @@
+"""Robin BC tests (third-kind: κ∂u/∂n + αu = r)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.neumann import boundary_edges
+from difffe_tpu.ops.robin import robin_edges, robin_point
+from difffe_tpu.solver import solve_poisson
+
+
+class TestRobin1D:
+    @pytest.mark.parametrize("method", ["dense", "tridiag"])
+    def test_linear_solution(self, method):
+        """u″=0, u(0)=0, u′(1)+u(1)=2 → u = x."""
+        mesh = FEMesh.line(n_elements=10, bc_right=None)
+        x = mesh.nodes[:, 0]
+        rb = robin_point(mesh, mesh.n_nodes - 1, alpha=1.0, r=2.0)
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), method=method,
+                          robin=rb)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x), atol=1e-10)
+
+    def test_robin_limits_to_neumann(self):
+        """α→0 recovers the pure-flux solution."""
+        mesh = FEMesh.line(n_elements=10, bc_right=None)
+        x = mesh.nodes[:, 0]
+        rb = robin_point(mesh, mesh.n_nodes - 1, alpha=0.0, r=1.0)
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), robin=rb)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x), atol=1e-10)
+
+    def test_robin_large_alpha_approaches_dirichlet(self):
+        """α→∞ with r=α·g approaches u=g at the boundary (penalty view)."""
+        mesh = FEMesh.line(n_elements=10, bc_right=None)
+        x = mesh.nodes[:, 0]
+        alpha = 1e8
+        rb = robin_point(mesh, mesh.n_nodes - 1, alpha=alpha, r=alpha * 0.5)
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), robin=rb)
+        assert abs(float(u[-1]) - 0.5) < 1e-6
+
+    def test_gradient_wrt_alpha(self):
+        mesh = FEMesh.line(n_elements=8, bc_right=None)
+
+        def loss(alpha):
+            rb = robin_point(mesh, mesh.n_nodes - 1, alpha=alpha, r=2.0)
+            u = solve_poisson(mesh, 1.0, jnp.zeros(mesh.n_nodes), robin=rb)
+            return jnp.sum(u ** 2)
+
+        g = float(jax.grad(loss)(1.0))
+        eps = 1e-6
+        fd = (float(loss(1.0 + eps)) - float(loss(1.0 - eps))) / (2 * eps)
+        assert abs(g - fd) < 1e-6 * max(1.0, abs(fd))
+
+
+class TestRobin2D:
+    def _left_dirichlet_mesh(self, nx, ny):
+        full = FEMesh.rectangle(nx=nx, ny=ny)
+        on_left = jnp.isclose(full.nodes[:, 0], 0.0)
+        return FEMesh(nodes=full.nodes, elements=full.elements,
+                      bc_mask=on_left.astype(full.dtype),
+                      bc_values=jnp.zeros(full.n_nodes, full.dtype))
+
+    def test_linear_solution_right_edge(self):
+        """−Δu=0, u|_{x=0}=0, Robin on x=1 with α=1, r = ∂u/∂n + u = 2
+        for u=x; homogeneous natural on y-edges → u = x."""
+        mesh = self._left_dirichlet_mesh(8, 8)
+        x = mesh.nodes[:, 0]
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        rb = robin_edges(mesh, right, alpha=1.0,
+                         r_nodal=2.0 * jnp.ones(mesh.n_nodes))
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), method="dense",
+                          robin=rb)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x), atol=1e-9)
+
+    def test_cg_rejects_robin(self):
+        mesh = self._left_dirichlet_mesh(4, 4)
+        rb = robin_edges(mesh, boundary_edges(mesh)[:1], 1.0,
+                         jnp.ones(mesh.n_nodes))
+        with pytest.raises(ValueError, match="dense"):
+            solve_poisson(mesh, 1.0, jnp.zeros(mesh.n_nodes), method="cg",
+                          robin=rb)
+
+    def test_edge_robin_on_tridiag_rejected(self):
+        mesh = FEMesh.line(n_elements=6, bc_right=None)
+        # fabricate an off-diagonal Robin triplet
+        from difffe_tpu.ops.robin import RobinBC
+        rb = RobinBC(rows=jnp.array([0], jnp.int32),
+                     cols=jnp.array([1], jnp.int32),
+                     vals=jnp.array([1.0], mesh.dtype),
+                     load=jnp.zeros(mesh.n_nodes, mesh.dtype))
+        with pytest.raises(ValueError, match="diagonal-only"):
+            solve_poisson(mesh, 1.0, jnp.zeros(mesh.n_nodes),
+                          method="tridiag", robin=rb)

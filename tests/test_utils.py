@@ -159,3 +159,47 @@ class TestCLI:
         rec = bench_scenario(cfg, log=lambda s: None)
         assert rec["grid"] == "8x8"
         assert rec["grad_solves_per_s"] > 0
+
+
+class TestTraceCapture:
+    def test_trace_writes_profile(self, tmp_path):
+        from difffe_tpu.utils import trace
+        logdir = str(tmp_path / "prof")
+        with trace(logdir):
+            jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones(64)))
+        import os
+        found = []
+        for root, _, files in os.walk(logdir):
+            found.extend(files)
+        assert found, "no profiler artifacts written"
+
+
+class TestScalingHarness:
+    def test_weak_scaling_smoke(self):
+        """scaling_efficiency runs on device subsets of the fake mesh
+        (numbers are meaningless on shared-host CPU; shape/API checked)."""
+        from difffe_tpu.parallel.multihost import scaling_efficiency
+        from difffe_tpu.parallel import make_device_mesh, batch_sharding
+        from difffe_tpu.mesh import FEMesh
+        from difffe_tpu.solver import solve_poisson_batched
+
+        fe_mesh = FEMesh.line(n_elements=16)
+
+        def step_fn(kb, fb):
+            return solve_poisson_batched(fe_mesh, kb, fb,
+                                         kappa_batched=True)
+
+        jitted = jax.jit(step_fn)
+
+        def make_args(n_dev):
+            B = 4 * n_dev
+            kb = jnp.linspace(1.0, 2.0, B)
+            fb = jnp.ones((B, fe_mesh.n_nodes))
+            dmesh = make_device_mesh(n_devices=n_dev)
+            sh = batch_sharding(dmesh)
+            return jax.device_put(kb, sh), jax.device_put(fb, sh)
+
+        results = scaling_efficiency(jitted, make_args, [1, 2], iters=3)
+        assert set(results) == {1, 2}
+        for thr, eff in results.values():
+            assert thr > 0 and eff > 0
