@@ -111,3 +111,10 @@ def test_dof_sharded_2d_mesh():
         lk1, os1, _ = step1(lk1, os1, f1, u1)
         jax.block_until_ready(lk1)
     np.testing.assert_allclose(np.asarray(log_k), np.asarray(lk1), atol=1e-9)
+
+
+def test_health_check_ping():
+    """Collective liveness probe returns True on a healthy (virtual) mesh."""
+    from difffe_tpu.parallel.multihost import HealthCheck, is_primary
+    assert is_primary()
+    assert HealthCheck(timeout_s=120.0).ping()
