@@ -1,0 +1,62 @@
+"""AOT export / deserialize roundtrip tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.solver import solve_poisson_batched
+from difffe_tpu.utils.export import (
+    export_batched_solver,
+    export_gradient_step,
+    load_exported,
+)
+
+
+def test_solver_roundtrip():
+    mesh = FEMesh.line(n_elements=16)
+    B = 4
+    blob = export_batched_solver(mesh, batch=B)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 100
+    solve = load_exported(blob)
+    kb = jnp.linspace(0.5, 2.0, B)
+    fb = jnp.ones((B, mesh.n_nodes))
+    u = solve(kb, fb)
+    u_ref = solve_poisson_batched(mesh, kb, fb, kappa_batched=True)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-12)
+
+
+def test_gradient_step_roundtrip():
+    mesh = FEMesh.line(n_elements=12)
+    B = 3
+    blob = export_gradient_step(mesh, batch=B)
+    step = load_exported(blob)
+    kb_true = jnp.array([1.0, 1.5, 2.0])
+    fb = jnp.ones((B, mesh.n_nodes))
+    u_data = solve_poisson_batched(mesh, kb_true, fb, kappa_batched=True)
+    loss, grad = step(jnp.zeros((B,)), fb, u_data)
+    assert float(loss) > 0
+    assert grad.shape == (B,)
+    # gradient should push log_k upward (κ=1 < all true κ ⇒ negative grad
+    # on the squared-misfit of too-large solutions… just check finiteness
+    # and against the live computation)
+    from jax import value_and_grad
+
+    def live(lk):
+        u = solve_poisson_batched(mesh, jnp.exp(lk), fb, kappa_batched=True)
+        return jnp.mean((u - u_data) ** 2)
+
+    l2, g2 = value_and_grad(live)(jnp.zeros((B,)))
+    np.testing.assert_allclose(float(loss), float(l2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g2), atol=1e-12)
+
+
+def test_exported_blob_is_stable_bytes(tmp_path):
+    """The artifact survives a disk round-trip (ship-to-fleet scenario)."""
+    mesh = FEMesh.line(n_elements=8)
+    blob = export_batched_solver(mesh, batch=2)
+    p = tmp_path / "solver.stablehlo"
+    p.write_bytes(blob)
+    solve = load_exported(p.read_bytes())
+    u = solve(jnp.ones(2), jnp.ones((2, mesh.n_nodes)))
+    assert np.isfinite(np.asarray(u)).all()

@@ -1,0 +1,107 @@
+"""Geometric multigrid preconditioner tests: correctness, mesh-independent
+iteration counts, gradients."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.ops.multigrid import (
+    build_hierarchy,
+    mg_diagnostics,
+    prolong_bilinear,
+    restrict_full_weighting,
+    solve_poisson_structured_mg,
+    v_cycle,
+)
+from difffe_tpu.ops.stencil import StructuredGrid, solve_poisson_structured
+
+
+def make_problem(n, key=0, variable=True):
+    grid = StructuredGrid.unit(n, n)
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float64)
+    X, Y = jnp.meshgrid(xs, xs)
+    f = 2 * math.pi ** 2 * jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+    if variable:
+        k = jax.random.PRNGKey(key)
+        kl = 1.0 + jax.random.uniform(k, (n, n), jnp.float64)
+    else:
+        kl = jnp.ones((n, n), jnp.float64)
+    g = jnp.zeros((n + 1, n + 1), jnp.float64)
+    return grid, kl, f, g
+
+
+class TestTransfers:
+    def test_restriction_shape_and_constant(self):
+        r = jnp.ones((17, 17))
+        rc = restrict_full_weighting(r)
+        assert rc.shape == (9, 9)
+        # full weighting preserves constants in the interior
+        np.testing.assert_allclose(np.asarray(rc[1:-1, 1:-1]), 1.0,
+                                   atol=1e-12)
+
+    def test_prolongation_exact_for_bilinear(self):
+        xs = jnp.linspace(0, 1, 9)
+        Xc, Yc = jnp.meshgrid(xs, xs)
+        c = 2.0 * Xc + 3.0 * Yc          # bilinear field
+        fine = prolong_bilinear(c, (17, 17))
+        xf = jnp.linspace(0, 1, 17)
+        Xf, Yf = jnp.meshgrid(xf, xf)
+        np.testing.assert_allclose(np.asarray(fine),
+                                   np.asarray(2.0 * Xf + 3.0 * Yf),
+                                   atol=1e-12)
+
+
+class TestMGSolve:
+    def test_matches_plain_cg(self):
+        grid, kl, f, g = make_problem(16)
+        u_ref = solve_poisson_structured(grid, (kl, kl), f, g)
+        u_mg = solve_poisson_structured_mg(grid, (kl, kl), f, g, 1e-12, 100)
+        np.testing.assert_allclose(np.asarray(u_mg), np.asarray(u_ref),
+                                   atol=1e-9)
+
+    def test_mesh_independent_iterations(self):
+        """MG-CG iterations stay ~constant as the mesh refines (the whole
+        point); Jacobi-PCG grows like O(n)."""
+        iters = []
+        for n in [16, 32, 64]:
+            grid, kl, f, g = make_problem(n, variable=False)
+            _, it, res = mg_diagnostics(grid, (kl, kl), f, g, tol=1e-10)
+            iters.append(int(it))
+            assert float(res) < 1e-8
+        assert max(iters) <= 25, f"MG iters {iters}"
+        # W-cycle: weak growth only (vs Jacobi-PCG's O(n) — hundreds at 64)
+        assert iters[2] <= 2.5 * iters[0], f"iters grew: {iters}"
+
+    def test_variable_kappa_convergence(self):
+        grid, kl, f, g = make_problem(32, variable=True)
+        _, it, res = mg_diagnostics(grid, (kl, kl), f, g, tol=1e-10)
+        assert int(it) <= 30
+        assert float(res) < 1e-8
+
+    def test_gradient_matches_plain(self):
+        grid, kl, f, g = make_problem(8)
+
+        def loss_mg(kl_):
+            u = solve_poisson_structured_mg(grid, (kl_, kl), f, g, 1e-12, 100)
+            return jnp.sum(u ** 2)
+
+        def loss_ref(kl_):
+            u = solve_poisson_structured(grid, (kl_, kl), f, g)
+            return jnp.sum(u ** 2)
+
+        gm = np.asarray(jax.grad(loss_mg)(kl))
+        gr = np.asarray(jax.grad(loss_ref)(kl))
+        np.testing.assert_allclose(gm, gr, rtol=1e-6, atol=1e-9)
+
+    def test_odd_size_falls_back_to_fewer_levels(self):
+        # n=12 → coarsen 12→6 (→3 odd: stop): hierarchy of 2-3 levels
+        grid, kl, f, g = make_problem(12)
+        levels = build_hierarchy(grid, kl, kl)
+        assert 2 <= len(levels) <= 3
+        u = solve_poisson_structured_mg(grid, (kl, kl), f, g, 1e-10, 200)
+        u_ref = solve_poisson_structured(grid, (kl, kl), f, g)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-8)
