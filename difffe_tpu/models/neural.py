@@ -187,6 +187,7 @@ def train_pde_batched(
     hidden_dim: int = 32,
     n_layers: int = 3,
     kappa=1.0,
+    kappa_batched: Optional[bool] = None,
 ) -> Tuple[Params, jax.Array]:
     """Scenario-batched surrogate training (BASELINE config 5: 'NeuralPDE
     residual training, 1e4+ scenarios').
@@ -194,8 +195,11 @@ def train_pde_batched(
     Trains B independent networks — one per forcing scenario f_batch[b],
     initialized from keys[b] — as ONE vmapped+jitted program: every epoch
     runs B forward/backward passes fused across the batch.  Per-scenario κ
-    supported via a (B,...) kappa.  Returns (stacked params pytree with
-    leading B axis, losses (B, n_epochs)).
+    supported via a (B,...) kappa; when a 1-D κ length collides with both B
+    and n_elements/n_nodes, pass ``kappa_batched`` explicitly (forwarded to
+    ``solve_poisson_batched``, which raises on the ambiguity rather than
+    guessing).  Returns (stacked params pytree with leading B axis,
+    losses (B, n_epochs)).
     """
     B = f_batch.shape[0]
     mask = boundary_mask(mesh)
@@ -204,9 +208,8 @@ def train_pde_batched(
     # FEM targets for all scenarios in one batched solve
     from ..solver import solve_poisson_batched
     u_fem = jax.lax.stop_gradient(
-        solve_poisson_batched(
-            mesh, kappa, f_batch,
-            kappa_batched=(kappa.ndim >= 1 and kappa.shape[0] == B)))
+        solve_poisson_batched(mesh, kappa, f_batch,
+                              kappa_batched=kappa_batched))
 
     opt = optax.adam(lr)
 

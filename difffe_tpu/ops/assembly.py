@@ -203,9 +203,15 @@ def assemble_load(mesh: FEMesh, f: jax.Array) -> jax.Array:
 def assemble_lumped_mass(mesh: FEMesh) -> jax.Array:
     """Diagonal (lumped) mass matrix entries ``(n_nodes,)``.
 
-    Consistent with the load quadrature above: M = assemble_load(mesh, 1).
-    Used by the time-dependent heat-equation rollouts (control/heat.py).
+    P1 families and P2 lines: row-sum lumping M = assemble_load(mesh, 1)
+    (all entries positive).  P2 triangles: row-sum lumping is ZERO at
+    vertex nodes (∫N_vertex dA = 0), so HRZ diagonal scaling is used
+    instead (ops/p2.py:lumped_mass_p2_2d).  Used by the time-dependent
+    heat-equation rollouts (control/heat.py).
     """
+    if element_family(mesh) == "p2_tri":
+        from .p2 import lumped_mass_p2_2d
+        return lumped_mass_p2_2d(mesh)
     ones = jnp.ones(mesh.n_nodes, dtype=mesh.dtype)
     return assemble_load(mesh, ones)
 

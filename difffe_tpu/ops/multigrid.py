@@ -178,7 +178,8 @@ def _pcg_mg(levels, b, x0, tol, maxiter):
     return x, iters, r
 
 
-def _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels):
+def _mg_setup(grid, kappa_lu, f, g, max_levels):
+    """Shared setup for solve and diagnostics: (levels, eliminated b, x0)."""
     kl, ku = kappa_lu
     levels = build_hierarchy(grid, kl, ku, max_levels)
     m = levels[0][1]
@@ -187,6 +188,11 @@ def _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels):
     C = levels[0][0]
     b = m * g + p * (F - stencil_apply(C, m * g))
     x0 = jnp.broadcast_to(m * g, b.shape)
+    return levels, b, x0
+
+
+def _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels):
+    levels, b, x0 = _mg_setup(grid, kappa_lu, f, g, max_levels)
     maxiter = maxiter if maxiter is not None else 100
     x, _, _ = _pcg_mg(levels, b, x0, tol, maxiter)
     return x
@@ -239,13 +245,6 @@ def mg_diagnostics(grid: StructuredGrid, kappa_lu, f, g,
                    tol: float = 1e-10, maxiter: int = 100,
                    max_levels: int = 6):
     """(u, iterations, final residual norm) — observability companion."""
-    kl, ku = kappa_lu
-    levels = build_hierarchy(grid, kl, ku, max_levels)
-    m = levels[0][1]
-    p = 1.0 - m
-    F = load_grid(grid, f)
-    C = levels[0][0]
-    b = m * g + p * (F - stencil_apply(C, m * g))
-    x, iters, r = _pcg_mg(levels, b, jnp.broadcast_to(m * g, b.shape),
-                          tol, maxiter)
+    levels, b, x0 = _mg_setup(grid, kappa_lu, f, g, max_levels)
+    x, iters, r = _pcg_mg(levels, b, x0, tol, maxiter)
     return x, iters, jnp.sqrt(jnp.sum(r * r))

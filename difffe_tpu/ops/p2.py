@@ -128,6 +128,28 @@ def local_stiffness_p2_2d(mesh: FEMesh, kappa) -> jax.Array:
     return scale[:, None, None] * K
 
 
+def lumped_mass_p2_2d(mesh: FEMesh) -> jax.Array:
+    """HRZ (diagonal-scaling) lumped mass for P2 triangles: (n_nodes,).
+
+    Row-sum lumping FAILS for P2 triangles — vertex basis functions
+    integrate to ZERO (∫λ(2λ−1) dA = A/3 − A/3 = 0), so any load-based
+    lumping gives zero vertex mass and breaks time stepping.  HRZ scales
+    the consistent-mass diagonal to preserve total element mass:
+    exact diag entries ∫N_v² = A/30, ∫N_m² = 8A/45, element trace 19A/30 →
+    lumped weights A·(3/57) per vertex, A·(16/57) per midside (sum = A).
+    """
+    _, _, area = _p1_geometry_from_vertices(mesh)
+    area = jnp.where(area < DEGENERATE_AREA_TOL, 0.0, area)
+    w_vertex = area * (3.0 / 57.0)
+    w_mid = area * (16.0 / 57.0)
+    out = jnp.zeros(mesh.n_nodes, dtype=mesh.dtype)
+    for p in range(3):
+        out = out.at[mesh.elements[:, p]].add(w_vertex)
+    for p in range(3, 6):
+        out = out.at[mesh.elements[:, p]].add(w_mid)
+    return out
+
+
 def load_p2_2d(mesh: FEMesh, f: jax.Array) -> jax.Array:
     """Load by the same midpoint rule (exact for degree-2 integrands)."""
     _, _, area = _p1_geometry_from_vertices(mesh)

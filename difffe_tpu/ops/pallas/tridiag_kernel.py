@@ -217,40 +217,45 @@ def _solve_padded(d, e, F, block_b):
     return u[:B, :n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def tridiag_solve_pallas(d: jax.Array, e: jax.Array, F: jax.Array,
-                         block_b: int = 64) -> jax.Array:
+                         block_b: int = 64,
+                         layout: str = "auto") -> jax.Array:
     """Solve T u = F for B batched symmetric tridiagonal systems.
 
     d: (B, n) diagonals, e: (B, n-1) off-diagonals, F: (B, n) RHS.
     Also accepts unbatched (n,) inputs.
+
+    layout: 'auto' picks 'transposed' (n on sublanes, batch on lanes —
+    no 128-lane padding waste) for n ≤ 256 and 'batch' otherwise.
+    ``block_b`` tunes the batch-block of the 'batch' layout only; the
+    transposed layout sizes its lane blocks automatically — pass
+    layout='batch' to force block_b to take effect for small n.
     """
-    return _impl(d, e, F, block_b)
+    return _impl(d, e, F, block_b, layout)
 
 
-def _impl(d, e, F, block_b):
+def _impl(d, e, F, block_b, layout="auto"):
     lead = d.shape[:-1]          # () for unbatched, arbitrary leading dims
     n = d.shape[-1]
     d2 = d.reshape(-1, n)
     e2 = e.reshape(-1, n - 1)
     F2 = F.reshape(-1, n)
-    if n <= 256:
-        # transposed layout: n on sublanes (8-multiple — no 128-lane
-        # padding waste for small systems), batch on lanes
+    if layout == "transposed" or (layout == "auto" and n <= 256):
         u = _solve_padded_T(d2, e2, F2)
     else:
         u = _solve_padded(d2, e2, F2, block_b)
     return u.reshape(lead + (n,))
 
 
-def _fwd(d, e, F, block_b):
-    u = _impl(d, e, F, block_b)
+def _fwd(d, e, F, block_b, layout):
+    u = _impl(d, e, F, block_b, layout)
     return u, (d, e, u)
 
 
-def _bwd(block_b, res, g):
+def _bwd(block_b, layout, res, g):
     d, e, u = res
-    lam = _impl(d, e, g, block_b)       # T symmetric ⇒ Tλ = ḡ
+    lam = _impl(d, e, g, block_b, layout)   # T symmetric ⇒ Tλ = ḡ
     grad_F = lam
     grad_d = -lam * u
     grad_e = -(lam[..., :-1] * u[..., 1:] + lam[..., 1:] * u[..., :-1])

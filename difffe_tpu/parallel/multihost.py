@@ -37,7 +37,10 @@ def initialize(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:
-        if "already initialized" in str(e).lower():
+        msg = str(e).lower()
+        # jax 0.9 phrases double-init as 'distributed.initialize should
+        # only be called once.'; older versions said 'already initialized'
+        if "only be called once" in msg or "already initialized" in msg:
             return
         raise
 

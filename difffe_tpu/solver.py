@@ -80,15 +80,19 @@ def solve_poisson(
 
     # Pure-Neumann problems are singular (constant nullspace) — roundoff can
     # make the factorization "succeed" with garbage, so refuse eagerly when
-    # the mesh is concrete (traced meshes skip the check).
-    try:
-        if mesh.n_dirichlet == 0:
-            raise ValueError(
-                "mesh has no Dirichlet nodes: the Poisson system is "
-                "singular (constant nullspace). Pin at least one node "
-                "(FEMesh.with_dirichlet) or formulate a regularized solve.")
-    except jax.errors.TracerArrayConversionError:
-        pass
+    # the mesh is concrete (traced meshes skip the check).  A Robin term
+    # regularizes the nullspace (α > 0 pins the solution), so the guard
+    # only applies without one.
+    if robin is None:
+        try:
+            if mesh.n_dirichlet == 0:
+                raise ValueError(
+                    "mesh has no Dirichlet nodes: the Poisson system is "
+                    "singular (constant nullspace). Pin at least one node "
+                    "(FEMesh.with_dirichlet), add a Robin term, or "
+                    "formulate a regularized solve.")
+        except jax.errors.TracerArrayConversionError:
+            pass
 
     if method in ("tridiag", "tridiag_pallas"):
         if mesh.dim != 1:
@@ -208,6 +212,14 @@ def solve_poisson_batched(
         if neumann is not None:
             # supports batched (B, n) natural-BC loads too
             F = F + jnp.asarray(neumann, dtype=mesh.dtype)
+        robin = kw.pop("robin", None)
+        if robin is not None:
+            if not robin.diagonal_only:
+                raise ValueError("tridiagonal path supports diagonal-only "
+                                 "Robin terms; use method='dense'")
+            from .ops.robin import robin_diag
+            d = d + robin_diag(mesh, robin)
+            F = F + robin.load
         lead = jnp.broadcast_shapes(d.shape[:-1], F.shape[:-1],
                                     bc_values.shape[:-1]
                                     if g_batched else ())

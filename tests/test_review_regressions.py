@@ -134,3 +134,82 @@ class TestBatchedNeumann2D:
         for b in range(B):
             np.testing.assert_allclose(np.asarray(u[b]),
                                        np.asarray(qs[b] * x), atol=1e-9)
+
+
+class TestSecondReviewRound:
+    def test_batched_fast_path_applies_robin(self):
+        """The tridiag fast path must apply (not drop) point-Robin terms."""
+        from difffe_tpu.ops.robin import robin_point
+        mesh = FEMesh.line(n_elements=10, bc_right=None)
+        n = mesh.n_nodes
+        rb = robin_point(mesh, n - 1, alpha=1.0, r=2.0)
+        u1 = solve_poisson(mesh, 1.0, jnp.zeros(n), method="tridiag",
+                           robin=rb)
+        uB = solve_poisson_batched(mesh, 1.0, jnp.zeros((3, n)),
+                                   method="tridiag", robin=rb)
+        for b in range(3):
+            np.testing.assert_allclose(np.asarray(uB[b]), np.asarray(u1),
+                                       atol=1e-12)
+        assert abs(float(uB[0, -1]) - 1.0) < 1e-10   # u = x
+
+    def test_p2_triangle_lumped_mass_positive(self):
+        """HRZ lumping: every P2-triangle mass entry strictly positive and
+        total mass equals the domain area."""
+        from difffe_tpu.ops.assembly import assemble_lumped_mass
+        mesh = FEMesh.rectangle_p2(nx=3, ny=3)
+        M = np.asarray(assemble_lumped_mass(mesh))
+        assert (M > 0).all(), f"{(M <= 0).sum()} nonpositive entries"
+        assert abs(M.sum() - 1.0) < 1e-12            # unit square
+
+    def test_p2_triangle_heat_rollout_decays(self):
+        """With positive mass, 2D P2 heat dynamics behave physically."""
+        from difffe_tpu.control import rollout
+        mesh = FEMesh.rectangle_p2(nx=3, ny=3)
+        x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+        u0 = jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+        traj = rollout(mesh, 1.0, u0, jnp.zeros((20, mesh.n_nodes)),
+                       dt=1e-3, method="dense")
+        norms = np.asarray(jnp.linalg.norm(traj, axis=-1))
+        assert (np.diff(norms) < 0).all()
+
+    def test_pure_robin_not_rejected(self):
+        """A Robin term regularizes the no-Dirichlet nullspace — the
+        singular-system guard must not fire."""
+        from difffe_tpu.ops.robin import robin_point
+        mesh = FEMesh.line(n_elements=8, bc_left=None, bc_right=None)
+        rb = robin_point(mesh, 0, alpha=1.0, r=0.0)
+        u = solve_poisson(mesh, 1.0, jnp.ones(mesh.n_nodes),
+                          method="dense", robin=rb)
+        assert np.isfinite(np.asarray(u)).all()
+        # -u''=1, u'(0) - ... with Robin at x=0: u(0)=r/alpha + flux terms;
+        # just verify the PDE residual via the dense system itself
+        from difffe_tpu.ops.assembly import (assemble_stiffness_dense,
+                                             assemble_load)
+        from difffe_tpu.ops.robin import robin_matrix_dense
+        K = assemble_stiffness_dense(mesh, 1.0) + robin_matrix_dense(mesh, rb)
+        F = assemble_load(mesh, jnp.ones(mesh.n_nodes)) + rb.load
+        np.testing.assert_allclose(np.asarray(K @ u), np.asarray(F),
+                                   atol=1e-10)
+
+    def test_train_pde_batched_ambiguity_raises(self):
+        from difffe_tpu.models.neural import train_pde_batched
+        mesh = FEMesh.line(n_elements=4)     # ne=4, nn=5
+        B = 4
+        f_batch = jnp.ones((B, mesh.n_nodes))
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        with pytest.raises(ValueError, match="ambiguous"):
+            train_pde_batched(keys, mesh, f_batch, n_epochs=2,
+                              kappa=jnp.ones(B))
+
+    def test_pallas_layout_override(self):
+        from difffe_tpu.ops.pallas.tridiag_kernel import tridiag_solve_pallas
+        from difffe_tpu.ops.tridiag import tridiag_solve
+        key = jax.random.PRNGKey(0)
+        d = 2.0 + jax.random.uniform(key, (4, 33))
+        e = -jnp.ones((4, 32)) * 0.5
+        F = jnp.ones((4, 33))
+        u_ref = tridiag_solve(d, e, F)
+        for layout in ["auto", "batch", "transposed"]:
+            u = tridiag_solve_pallas(d, e, F, 64, layout)
+            np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                       atol=1e-10)
