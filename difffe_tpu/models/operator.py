@@ -1,0 +1,127 @@
+"""Operator-learning surrogate: one network across the scenario family.
+
+``NeuralPDE`` (and the reference's, neural.py) fits ONE solution; a batch of
+scenarios needs a batch of networks (models/neural.train_pde_batched).  This
+module learns the solution OPERATOR instead — a DeepONet-style model
+
+    u(x; s) = φ(x) · Σ_k  branch_k(s) · trunk_k(x)
+
+where ``s`` is a per-scenario feature vector (κ parameters, forcing
+coefficients, BC amplitudes…), ``branch``/``trunk`` are MLPs, and φ is the
+boundary-vanishing lifting mask, so Dirichlet BCs hold for every scenario by
+construction.  One trained model amortizes the whole family: inference for a
+new scenario is a single forward pass — no solve at all — which is the
+production-serving counterpart to the batched adjoint solvers.
+
+Training targets come from the batched FEM solver; everything runs as one
+jitted ``lax.scan`` over minibatched Adam steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..mesh import FEMesh
+from .neural import Params, apply_mlp, boundary_mask, init_mlp
+
+
+class DeepONetParams(NamedTuple):
+    branch: Params     # s (ds,) → (n_basis,)
+    trunk: Params      # x (dim,) → (n_basis,)
+    bias: jax.Array    # scalar
+
+
+def _init_head(key, in_dim, width, depth, n_basis, dtype):
+    """MLP with an n_basis-wide linear head (reuses neural.init_mlp and
+    widens the final layer)."""
+    params = init_mlp(key, in_dim, width, depth, dtype)
+    W, b = params[-1]
+    k = jax.random.fold_in(key, 17)
+    bound = 1.0 / jnp.sqrt(W.shape[0])
+    W = jax.random.uniform(k, (W.shape[0], n_basis), dtype, -bound, bound)
+    b = jnp.zeros((n_basis,), dtype)
+    return params[:-1] + [(W, b)]
+
+
+def _apply_head(params: Params, x: jax.Array) -> jax.Array:
+    """(..., in_dim) → (..., n_basis)."""
+    h = x
+    for W, b in params[:-1]:
+        h = jnp.tanh(h @ W + b)
+    W, b = params[-1]
+    return h @ W + b
+
+
+def init_deeponet(key: jax.Array, feat_dim: int, dim: int,
+                  width: int = 64, depth: int = 3, n_basis: int = 32,
+                  dtype=jnp.float32) -> DeepONetParams:
+    kb, kt = jax.random.split(key)
+    return DeepONetParams(
+        branch=_init_head(kb, feat_dim, width, depth, n_basis, dtype),
+        trunk=_init_head(kt, dim, width, depth, n_basis, dtype),
+        bias=jnp.zeros((), dtype),
+    )
+
+
+def deeponet_forward(params: DeepONetParams, mesh: FEMesh, mask: jax.Array,
+                     feats: jax.Array) -> jax.Array:
+    """u for a batch of scenarios at the mesh nodes: feats (B, ds) → (B, n)."""
+    b = _apply_head(params.branch, feats)          # (B, n_basis)
+    t = _apply_head(params.trunk, mesh.nodes)      # (n, n_basis)
+    u = b @ t.T + params.bias                      # (B, n)
+    return mask[None, :] * u
+
+
+def train_operator(
+    mesh: FEMesh,
+    feats: jax.Array,
+    u_targets: jax.Array,
+    n_epochs: int = 3000,
+    lr: float = 1e-3,
+    width: int = 64,
+    depth: int = 3,
+    n_basis: int = 32,
+    key: Optional[jax.Array] = None,
+) -> Tuple[DeepONetParams, Callable[[jax.Array], jax.Array], jax.Array]:
+    """Fit the operator on (feats (B, ds), u_targets (B, n)) pairs.
+
+    Returns (params, ``u_fn(feats) → (B', n)`` for NEW scenarios, losses).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    feats = jnp.asarray(feats, mesh.dtype)
+    u_targets = jnp.asarray(u_targets, mesh.dtype)
+    mask = boundary_mask(mesh)
+    params = init_deeponet(key, feats.shape[1], mesh.dim, width, depth,
+                           n_basis, mesh.dtype)
+    opt = optax.adam(lr)
+
+    def loss_fn(p):
+        u = deeponet_forward(p, mesh, mask, feats)
+        return jnp.mean((u - u_targets) ** 2)
+
+    @jax.jit
+    def run(p):
+        state = opt.init(p)
+
+        def step(carry, _):
+            p, st = carry
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            upd, st = opt.update(g, st)
+            return (optax.apply_updates(p, upd), st), loss
+
+        (p, _), losses = jax.lax.scan(step, (p, state), None,
+                                      length=n_epochs)
+        return p, losses
+
+    params, losses = run(params)
+
+    def u_fn(new_feats: jax.Array) -> jax.Array:
+        return deeponet_forward(params, mesh, mask,
+                                jnp.asarray(new_feats, mesh.dtype))
+
+    return params, u_fn, losses

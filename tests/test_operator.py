@@ -1,0 +1,60 @@
+"""Operator-learning surrogate tests: fit across a scenario family,
+generalize to UNSEEN scenarios with no solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.models.operator import train_operator
+from difffe_tpu.solver import solve_poisson_batched
+
+
+def make_family(mesh, kappas):
+    """Scenario features = [log κ]; targets = FEM solutions of −κu″=f."""
+    x = mesh.nodes[:, 0]
+    B = kappas.shape[0]
+    f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+    u = solve_poisson_batched(mesh, kappas, f, kappa_batched=True)
+    feats = jnp.log(kappas)[:, None]
+    return feats, u
+
+
+class TestOperatorSurrogate:
+    def test_fits_and_generalizes(self):
+        mesh = FEMesh.line(n_elements=24)
+        k_train = jnp.linspace(0.5, 2.5, 40)
+        feats, u_train = make_family(mesh, k_train)
+        params, u_fn, losses = train_operator(
+            mesh, feats, u_train, n_epochs=4000, lr=2e-3,
+            width=48, depth=2, n_basis=24, key=jax.random.PRNGKey(0))
+        assert float(losses[-1]) < 1e-5
+
+        # UNSEEN scenarios strictly inside the training range
+        k_test = jnp.array([0.77, 1.31, 2.05])
+        feats_t, u_true = make_family(mesh, k_test)
+        u_pred = u_fn(feats_t)
+        rel = float(jnp.max(jnp.abs(u_pred - u_true))
+                    / jnp.max(jnp.abs(u_true)))
+        assert rel < 0.02, f"generalization error {rel:.4f}"
+
+    def test_bcs_hold_for_any_scenario(self):
+        mesh = FEMesh.line(n_elements=12)
+        k_train = jnp.linspace(0.8, 1.6, 8)
+        feats, u_train = make_family(mesh, k_train)
+        _, u_fn, _ = train_operator(mesh, feats, u_train, n_epochs=200,
+                                    width=16, depth=1, n_basis=8)
+        u = u_fn(jnp.array([[5.0]]))   # wildly out-of-range scenario
+        assert abs(float(u[0, 0])) < 1e-12
+        assert abs(float(u[0, -1])) < 1e-12
+
+    def test_inference_is_solve_free_and_batched(self):
+        mesh = FEMesh.line(n_elements=16)
+        k_train = jnp.linspace(0.5, 2.0, 16)
+        feats, u_train = make_family(mesh, k_train)
+        _, u_fn, _ = train_operator(mesh, feats, u_train, n_epochs=100,
+                                    width=16, depth=1, n_basis=8)
+        big = jnp.log(jnp.linspace(0.6, 1.9, 4096))[:, None]
+        u = jax.jit(u_fn)(big)
+        assert u.shape == (4096, mesh.n_nodes)
+        assert np.isfinite(np.asarray(u)).all()
