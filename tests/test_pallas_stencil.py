@@ -73,3 +73,31 @@ class TestWholeCGKernel:
         kl = jnp.ones((6, 6), jnp.float64)
         u = solve_structured_pallas(grid, (kl, kl), f, g, 500)
         assert np.isfinite(np.asarray(u)).all()
+
+
+class TestMultiScenarioBlocks:
+    def test_block_b_matches_single(self):
+        """TB>1 blocks (Mosaic (TB,1)-reduction layout) equal per-scenario."""
+        grid, kl, f, g = problem(8, B=8)
+        u1 = solve_structured_pallas(grid, (kl, kl), f, g, 150, 1)
+        u4 = solve_structured_pallas(grid, (kl, kl), f, g, 150, 4)
+        np.testing.assert_allclose(np.asarray(u4), np.asarray(u1),
+                                   atol=1e-9)
+
+    def test_block_b_gradients(self):
+        grid, kl, f, g = problem(8, B=4)
+
+        def loss(kl_, bb):
+            u = solve_structured_pallas(grid, (kl_, kl), f, g, 150, bb)
+            return jnp.sum(u ** 2)
+
+        g1 = np.asarray(jax.grad(lambda k: loss(k, 1))(kl))
+        g4 = np.asarray(jax.grad(lambda k: loss(k, 4))(kl))
+        np.testing.assert_allclose(g4, g1, rtol=1e-7, atol=1e-10)
+
+    def test_block_b_pads_ragged_batch(self):
+        grid, kl, f, g = problem(8, B=5)     # 5 % 4 != 0 → padded to 8
+        u1 = solve_structured_pallas(grid, (kl, kl), f, g, 150, 1)
+        u4 = solve_structured_pallas(grid, (kl, kl), f, g, 150, 4)
+        np.testing.assert_allclose(np.asarray(u4), np.asarray(u1),
+                                   atol=1e-9)
