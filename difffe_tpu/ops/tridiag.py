@@ -133,4 +133,10 @@ def solve_poisson_tridiag(mesh: FEMesh, d: jax.Array, e: jax.Array,
         d_mod = jnp.broadcast_to(d_mod, bshape + d_mod.shape[-1:])
         e_mod = jnp.broadcast_to(e_mod, bshape + e_mod.shape[-1:])
         return tridiag_solve_pallas(d_mod, e_mod, F_mod)
+    if backend == "spike":
+        from .spike import tridiag_solve_spike
+        bshape = F_mod.shape[:-1]
+        d_mod = jnp.broadcast_to(d_mod, bshape + d_mod.shape[-1:])
+        e_mod = jnp.broadcast_to(e_mod, bshape + e_mod.shape[-1:])
+        return tridiag_solve_spike(d_mod, e_mod, F_mod)
     return tridiag_solve(d_mod, e_mod, F_mod)
