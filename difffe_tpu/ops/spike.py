@@ -47,8 +47,6 @@ def _thomas_multi(dl, d, du, rhs):
     du_t = jnp.moveaxis(du, -1, 0)
     r_t = jnp.moveaxis(rhs, -2, 0)        # (L, ..., K)
 
-    du_prev = jnp.concatenate([jnp.zeros_like(du_t[:1]), du_t[:-1]], axis=0)
-    init = (jnp.ones_like(d_t[0]), jnp.zeros_like(r_t[0]))
     # first row: no elimination
     (_, _), (dhat_t, rhat_t) = jax.lax.scan(
         fwd, (d_t[0], r_t[0]),
@@ -68,6 +66,32 @@ def _thomas_multi(dl, d, du, rhs):
                          reverse=True)
     x_t = jnp.concatenate([xs, x_last[None]], axis=0)
     return jnp.moveaxis(x_t, 0, -2)       # (..., L, K)
+
+
+def _solve_reduced(M, rhs):
+    """Batched solve of the small reduced system, TPU-f64-safe.
+
+    XLA's LuDecomposition expander supports only F32/C64 on TPU, so a
+    float64 ``jnp.linalg.solve`` fails to compile there.  The reduced
+    matrix is ≈ I + small couplings (well-conditioned), so an f32 LU with
+    two f64 iterative-refinement sweeps recovers ~f64 accuracy; native
+    f64 LU is used where supported (CPU).
+    """
+    if M.dtype != jnp.float64 or jax.default_backend() != "tpu":
+        return jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    M32 = M.astype(jnp.float32)
+    lu, piv = jax.scipy.linalg.lu_factor(M32)
+
+    def solve32(r):
+        return jax.scipy.linalg.lu_solve(
+            (lu, piv), r.astype(jnp.float32)[..., None]
+        )[..., 0].astype(jnp.float64)
+
+    z = solve32(rhs)
+    for _ in range(2):     # iterative refinement in f64
+        r = rhs - jnp.einsum("bij,bj->bi", M, z)
+        z = z + solve32(r)
+    return z
 
 
 def _spike_impl(d, e, F, chunk):
@@ -120,7 +144,7 @@ def _spike_impl(d, e, F, chunk):
 
     rhs_red = jnp.stack([y[..., 0], y[..., L - 1]], axis=-1
                         ).reshape(B, 2 * C)
-    z = jnp.linalg.solve(M, rhs_red[..., None])[..., 0]   # (B, 2C)
+    z = _solve_reduced(M, rhs_red)                        # (B, 2C)
     s = z.reshape(B, C, 2)[..., 1]        # (B, C) last entries
     t = z.reshape(B, C, 2)[..., 0]        # (B, C) first entries
 

@@ -105,7 +105,7 @@ tridiag_solve.defvjp(_tridiag_solve_fwd, _tridiag_solve_bwd)
 
 def solve_poisson_tridiag(mesh: FEMesh, d: jax.Array, e: jax.Array,
                           F: jax.Array, backend: str = "xla",
-                          bc_values=None) -> jax.Array:
+                          bc_values=None, chunk: int = 64) -> jax.Array:
     """BC-eliminate banded (d, e, F) on a 1D chain mesh and PCR-solve.
 
     Mask elimination in band form (see ops/solve.py for the dense analogue):
@@ -127,16 +127,18 @@ def solve_poisson_tridiag(mesh: FEMesh, d: jax.Array, e: jax.Array,
     mg = jnp.broadcast_to(m * g, F.shape)
     F_mod = jnp.broadcast_to(m * g + p * (F - tridiag_matvec(d, e, mg)),
                              F.shape)
-    if backend == "pallas":
-        from .pallas.tridiag_kernel import tridiag_solve_pallas
+    if backend != "xla":
+        # non-XLA backends take explicitly batched bands
         bshape = F_mod.shape[:-1]
         d_mod = jnp.broadcast_to(d_mod, bshape + d_mod.shape[-1:])
         e_mod = jnp.broadcast_to(e_mod, bshape + e_mod.shape[-1:])
+    if backend == "pallas":
+        from .pallas.tridiag_kernel import tridiag_solve_pallas
         return tridiag_solve_pallas(d_mod, e_mod, F_mod)
     if backend == "spike":
         from .spike import tridiag_solve_spike
-        bshape = F_mod.shape[:-1]
-        d_mod = jnp.broadcast_to(d_mod, bshape + d_mod.shape[-1:])
-        e_mod = jnp.broadcast_to(e_mod, bshape + e_mod.shape[-1:])
-        return tridiag_solve_spike(d_mod, e_mod, F_mod)
+        return tridiag_solve_spike(d_mod, e_mod, F_mod, chunk)
+    if backend != "xla":
+        raise ValueError(f"unknown tridiagonal backend {backend!r} "
+                         "(expected 'xla', 'pallas', or 'spike')")
     return tridiag_solve(d_mod, e_mod, F_mod)

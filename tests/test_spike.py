@@ -73,3 +73,28 @@ class TestSpike:
         u_spk = solve_poisson_tridiag(mesh, d, e, F, backend="spike")
         np.testing.assert_allclose(np.asarray(u_spk), np.asarray(u_pcr),
                                    atol=1e-10)
+
+
+def test_unknown_backend_raises():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load, assemble_tridiag_1d
+    from difffe_tpu.ops.tridiag import solve_poisson_tridiag
+    mesh = FEMesh.line(n_elements=8)
+    d, e = assemble_tridiag_1d(mesh, 1.0)
+    F = assemble_load(mesh, jnp.ones(mesh.n_nodes))
+    with pytest.raises(ValueError, match="unknown tridiagonal backend"):
+        solve_poisson_tridiag(mesh, d, e, F, backend="spkie")
+
+
+def test_chunk_plumbed_through():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load, assemble_tridiag_1d
+    from difffe_tpu.ops.tridiag import solve_poisson_tridiag
+    mesh = FEMesh.line(n_elements=100)
+    x = mesh.nodes[:, 0]
+    d, e = assemble_tridiag_1d(mesh, 1.0)
+    F = assemble_load(mesh, jnp.ones_like(x))
+    u32 = solve_poisson_tridiag(mesh, d, e, F, backend="spike", chunk=32)
+    u_ref = solve_poisson_tridiag(mesh, d, e, F)
+    np.testing.assert_allclose(np.asarray(u32), np.asarray(u_ref),
+                               atol=1e-10)
