@@ -167,6 +167,56 @@ def bench_scenario(cfg, log=print):
     return result
 
 
+def export_cmd(args):
+    """Build an AOT solver artifact for a mesh/batch and write it to disk."""
+    from .mesh import FEMesh
+    from .utils.export import export_batched_solver, export_gradient_step
+    mesh = FEMesh.line(n_elements=args.elements) if args.dim == 1 \
+        else FEMesh.rectangle(nx=args.elements, ny=args.elements)
+    build = export_gradient_step if args.grad else export_batched_solver
+    blob = build(mesh, batch=args.batch)
+    with open(args.out, "wb") as fh:
+        fh.write(blob)
+    print(json.dumps({"artifact": args.out, "bytes": len(blob),
+                      "dim": args.dim, "elements": args.elements,
+                      "batch": args.batch, "grad": bool(args.grad)}))
+    return 0
+
+
+def serve_cmd(args):
+    """Serve an exported artifact: JSON lines on stdin → JSON lines on stdout.
+
+    Request:  {"kappa": [...B], "f": [[...n]...B]}   (and "u_data" for grad
+    artifacts).  Response: {"u": [[...]]} or {"loss": .., "grad": [...]}.
+    """
+    from .utils.export import load_exported_with_avals
+    with open(args.artifact, "rb") as fh:
+        fn, avals = load_exported_with_avals(fh.read())
+    dtypes = [a.dtype for a in avals]
+    if any(d == jnp.float64 for d in dtypes):
+        jax.config.update("jax_enable_x64", True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if "u_data" in req:
+                loss, grad = fn(jnp.asarray(req["kappa"], dtypes[0]),
+                                jnp.asarray(req["f"], dtypes[1]),
+                                jnp.asarray(req["u_data"], dtypes[2]))
+                print(json.dumps({"loss": float(loss),
+                                  "grad": grad.tolist()}), flush=True)
+            else:
+                u = fn(jnp.asarray(req["kappa"], dtypes[0]),
+                       jnp.asarray(req["f"], dtypes[1]))
+                print(json.dumps({"u": u.tolist()}), flush=True)
+        except Exception as e:  # malformed request: report, keep serving
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+    return 0
+
+
 def main(argv=None):
     from .utils.config import BASELINE_CONFIGS, ScenarioConfig
 
@@ -179,12 +229,25 @@ def main(argv=None):
         p.add_argument("--batch", type=int)
         p.add_argument("--steps", type=int)
         p.add_argument("--method")
+    pe = sub.add_parser("export", help="build an AOT solver artifact")
+    pe.add_argument("out")
+    pe.add_argument("--dim", type=int, default=1, choices=[1, 2])
+    pe.add_argument("--elements", type=int, default=64)
+    pe.add_argument("--batch", type=int, default=256)
+    pe.add_argument("--grad", action="store_true",
+                    help="export the fwd+adjoint gradient step")
+    ps = sub.add_parser("serve", help="serve an artifact over stdin/stdout")
+    ps.add_argument("artifact")
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
         for name, cfg in BASELINE_CONFIGS.items():
             print(f"{name:24s} {cfg.to_json()}")
         return 0
+    if args.cmd == "export":
+        return export_cmd(args)
+    if args.cmd == "serve":
+        return serve_cmd(args)
 
     cfg = BASELINE_CONFIGS[args.scenario]
     overrides = {}

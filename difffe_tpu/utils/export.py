@@ -44,6 +44,13 @@ def load_exported(blob: bytes) -> Callable:
     return exp.call
 
 
+def load_exported_with_avals(blob: bytes):
+    """(call_fn, input avals) — avals carry the exact shapes/dtypes the
+    artifact was traced with (serving layers cast requests to them)."""
+    exp = jax_export.deserialize(blob)
+    return exp.call, exp.in_avals
+
+
 def export_batched_solver(mesh: FEMesh, batch: int,
                           method: str = "auto",
                           platforms: Optional[Sequence[str]] = None) -> bytes:

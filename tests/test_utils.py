@@ -203,3 +203,30 @@ class TestScalingHarness:
         assert set(results) == {1, 2}
         for thr, eff in results.values():
             assert thr > 0 and eff > 0
+
+    def test_export_and_serve_roundtrip(self, tmp_path):
+        """CLI export → serve: JSONL request in, solution out."""
+        import subprocess, sys, os, json as _json
+        art = str(tmp_path / "solver.bin")
+        from difffe_tpu.cli import main
+        assert main(["export", art, "--dim", "1", "--elements", "8",
+                     "--batch", "2"]) == 0
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        req = _json.dumps({"kappa": [1.0, 2.0],
+                           "f": [[1.0] * 9, [1.0] * 9]})
+        bad = "{not json"
+        proc = subprocess.run(
+            [sys.executable, "-m", "difffe_tpu.cli", "serve", art],
+            input=req + "\n" + bad + "\n", capture_output=True,
+            text=True, env=env, timeout=240)
+        lines = [l for l in proc.stdout.splitlines() if l.strip()]
+        assert len(lines) == 2, proc.stderr[-500:]
+        resp = _json.loads(lines[0])
+        u = np.asarray(resp["u"])
+        assert u.shape == (2, 9)
+        # kappa=2 halves the solution
+        np.testing.assert_allclose(u[1], u[0] / 2.0, atol=1e-6)
+        err = _json.loads(lines[1])
+        assert "error" in err
