@@ -181,6 +181,80 @@ solve_poisson_cg.defvjp(_cg_fwd, _cg_bwd)
 
 
 # --------------------------------------------------------------------------
+# Robin (third-kind) BC variant: A = K + ∮αuv ds, b = F + ∮rv ds, all
+# matrix-free.  The boundary mass is symmetric (ops/robin.py builds both
+# (i,j) and (j,i) entries) so the adjoint reuses the same operator; the
+# residual-map VJP carries gradients to α (robin.vals) and r (robin.load)
+# alongside κ, f, geometry and BC values.
+# --------------------------------------------------------------------------
+
+def _robin_applyK(mesh, kappa, robin):
+    from .robin import robin_apply
+    return lambda w: stiffness_apply(mesh, kappa, w) + robin_apply(robin, w)
+
+
+def _robin_operator(mesh, kappa, robin, v):
+    return apply_dirichlet_operator(mesh, _robin_applyK(mesh, kappa, robin),
+                                    v)
+
+
+def _robin_rhs(mesh, kappa, robin, F):
+    return dirichlet_rhs(mesh, _robin_applyK(mesh, kappa, robin),
+                         F + robin.load)
+
+
+def _robin_jacobi(mesh, kappa, robin):
+    from .robin import robin_diag
+    m = mesh.bc_mask
+    diagA = m + (1.0 - m) * (stiffness_diag(mesh, kappa)
+                             + robin_diag(mesh, robin))
+    return 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+
+
+def _cg_robin_impl(mesh, kappa, F, robin, tol, maxiter):
+    maxiter = maxiter if maxiter is not None else mesh.n_nodes
+    b = _robin_rhs(mesh, kappa, robin, F)
+    Minv = _robin_jacobi(mesh, kappa, robin)
+    x0 = mesh.bc_mask * mesh.bc_values
+    return _pcg(lambda v: _robin_operator(mesh, kappa, robin, v), b, Minv,
+                jnp.broadcast_to(x0, b.shape), tol, maxiter)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def solve_poisson_cg_robin(mesh: FEMesh, kappa, F: jax.Array, robin,
+                           tol: float = 0.0,
+                           maxiter: Optional[int] = None) -> jax.Array:
+    """Matrix-free PCG solve of (K + ∮αuv ds)u = F + ∮rv ds with Dirichlet
+    elimination.  ``robin`` is an ops/robin.py RobinBC (unbatched — batched
+    scenarios vmap via solver.solve_poisson_batched)."""
+    return _cg_robin_impl(mesh, kappa, F, robin, tol, maxiter)
+
+
+def _cg_robin_fwd(mesh, kappa, F, robin, tol, maxiter):
+    u = _cg_robin_impl(mesh, kappa, F, robin, tol, maxiter)
+    return u, (mesh, kappa, F, robin, u)
+
+
+def _cg_robin_bwd(tol, maxiter, res, g):
+    mesh, kappa, F, robin, u = res
+    maxit = maxiter if maxiter is not None else mesh.n_nodes
+    Minv = _robin_jacobi(mesh, kappa, robin)
+    lam = _pcg(lambda v: _robin_operator(mesh, kappa, robin, v), g, Minv,
+               jnp.zeros_like(g), tol, maxit)
+
+    def residual(mesh_, kappa_, F_, robin_):
+        u_fixed = jax.lax.stop_gradient(u)
+        return (_robin_rhs(mesh_, kappa_, robin_, F_)
+                - _robin_operator(mesh_, kappa_, robin_, u_fixed))
+
+    _, vjp = jax.vjp(residual, mesh, kappa, F, robin)
+    return vjp(lam)
+
+
+solve_poisson_cg_robin.defvjp(_cg_robin_fwd, _cg_robin_bwd)
+
+
+# --------------------------------------------------------------------------
 # Shifted solve (diag(mass) + τ·K)u = F — the implicit-time-step system of
 # control/heat.py at 2D scale (matrix-free, never materializes M + τK).
 # --------------------------------------------------------------------------

@@ -343,18 +343,8 @@ def _bwd(grid, iters, block_b, res, gbar):
     if gbar.ndim == 2:
         lam = lam[0]
 
-    def residual(kappa_lu_, f_, g_):
-        kl_, ku_ = kappa_lu_
-        C_ = stencil_coefficients(grid, kl_, ku_)
-        F_ = load_grid(grid, f_)
-        mg = m * g_
-        b_ = mg + p * (F_ - stencil_apply(C_, mg))
-        u_fixed = jax.lax.stop_gradient(u)
-        Au = m * u_fixed + p * stencil_apply(C_, p * u_fixed)
-        return b_ - Au
-
-    _, vjp = jax.vjp(residual, kappa_lu, f, g)
-    return vjp(lam)
+    from ..stencil import residual_vjp_manual
+    return residual_vjp_manual(grid, kappa_lu, f, g, u, lam)
 
 
 solve_structured_pallas.defvjp(_fwd, _bwd)

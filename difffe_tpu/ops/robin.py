@@ -10,8 +10,11 @@ represented here as a static COO triplet (rows, cols, vals) + load vector,
 registered as a pytree so α and r stay differentiable.
 
 Support matrix: dense/LU solves (1D + 2D, any element family via vertex
-edges), tridiagonal 1D (point Robin is diagonal-only).  The matrix-free CG
-path does not accept Robin terms yet — ``solve_poisson`` raises if asked.
+edges), tridiagonal 1D (point Robin is diagonal-only), and the matrix-free
+CG path (ops/cg.py:solve_poisson_cg_robin — operator, RHS, Jacobi diag and
+IFT adjoint all carry the boundary term).  α and r may carry leading
+scenario-batch axes (``vals``/``load`` get the same lead dims); batched
+solves route through ``solver.solve_poisson_batched``.
 """
 
 from __future__ import annotations
@@ -35,21 +38,28 @@ class RobinBC:
 
     rows: jax.Array   # (K,) int32
     cols: jax.Array   # (K,) int32
-    vals: jax.Array   # (K,) float — entries of ∮ α N_i N_j ds
-    load: jax.Array   # (n_nodes,) — ∮ r N_i ds
+    vals: jax.Array   # (…, K) float — entries of ∮ α N_i N_j ds
+    load: jax.Array   # (…, n_nodes) — ∮ r N_i ds
     diagonal_only: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
 
 def robin_point(mesh: FEMesh, node: int, alpha, r) -> RobinBC:
-    """1D Robin at a boundary node: K[node,node] += α, F[node] += r."""
+    """1D Robin at a boundary node: K[node,node] += α, F[node] += r.
+
+    ``alpha`` / ``r`` may carry leading scenario-batch dims (e.g. (B,));
+    the resulting ``vals``/``load`` get the same lead dims.
+    """
     dtype = mesh.dtype
-    load = jnp.zeros(mesh.n_nodes, dtype).at[node].add(
-        jnp.asarray(r, dtype))
+    alpha = jnp.asarray(alpha, dtype)
+    r = jnp.asarray(r, dtype)
+    lead = jnp.broadcast_shapes(alpha.shape, r.shape)
+    load = jnp.zeros(lead + (mesh.n_nodes,), dtype).at[..., node].add(
+        jnp.broadcast_to(r, lead))
     return RobinBC(
         rows=jnp.asarray([node], jnp.int32),
         cols=jnp.asarray([node], jnp.int32),
-        vals=jnp.asarray(alpha, dtype)[None],
+        vals=jnp.broadcast_to(alpha, lead)[..., None],
         load=load,
         diagonal_only=True,
     )
@@ -60,11 +70,17 @@ def robin_edges(mesh: FEMesh, edges, alpha, r_nodal) -> RobinBC:
 
     Per P1 edge of length L: boundary mass α·L/6·[[2,1],[1,2]] and
     consistent load L/6·[2r_i + r_j, r_i + 2r_j].
-    alpha: scalar or per-edge (E,); r_nodal: (n_nodes,) values of r.
+    alpha: scalar, per-edge (E,), or batched (…, E) / (…, 1) lead dims;
+    r_nodal: (n_nodes,) or batched (…, n_nodes) values of r.
     """
     dtype = mesh.dtype
     edges = jnp.asarray(edges, dtype=jnp.int32)
-    alpha = jnp.broadcast_to(jnp.asarray(alpha, dtype), (edges.shape[0],))
+    E = edges.shape[0]
+    alpha = jnp.asarray(alpha, dtype)
+    if alpha.ndim == 0:
+        alpha = jnp.broadcast_to(alpha, (E,))
+    else:
+        alpha = jnp.broadcast_to(alpha, alpha.shape[:-1] + (E,))
     r_nodal = jnp.asarray(r_nodal, dtype)
     pi = mesh.nodes[edges[:, 0]]
     pj = mesh.nodes[edges[:, 1]]
@@ -75,12 +91,14 @@ def robin_edges(mesh: FEMesh, edges, alpha, r_nodal) -> RobinBC:
     m_off = alpha * L / 6.0
     rows = jnp.concatenate([i, j, i, j])
     cols = jnp.concatenate([i, j, j, i])
-    vals = jnp.concatenate([m_diag, m_diag, m_off, m_off])
+    vals = jnp.concatenate([m_diag, m_diag, m_off, m_off], axis=-1)
 
-    ri, rj = r_nodal[i], r_nodal[j]
-    load = jnp.zeros(mesh.n_nodes, dtype)
-    load = load.at[i].add(L / 6.0 * (2.0 * ri + rj))
-    load = load.at[j].add(L / 6.0 * (ri + 2.0 * rj))
+    ri, rj = r_nodal[..., i], r_nodal[..., j]
+    lead = jnp.broadcast_shapes(alpha.shape[:-1], r_nodal.shape[:-1])
+    load = jnp.zeros(lead + (mesh.n_nodes,), dtype)
+    load = load.at[..., i].add(L / 6.0 * (2.0 * ri + rj))
+    load = load.at[..., j].add(L / 6.0 * (ri + 2.0 * rj))
+    vals = jnp.broadcast_to(vals, lead + vals.shape[-1:])
     return RobinBC(rows=rows, cols=cols, vals=vals, load=load)
 
 
@@ -97,7 +115,11 @@ def robin_apply(rb: RobinBC, u: jax.Array) -> jax.Array:
 
 
 def robin_diag(mesh: FEMesh, rb: RobinBC) -> jax.Array:
-    """Diagonal of the boundary stiffness (tridiagonal 1D path)."""
+    """Diagonal of the boundary stiffness (tridiagonal 1D / Jacobi paths).
+
+    Supports batched ``vals`` (…, K) → (…, n_nodes) diagonals.
+    """
     mask = (rb.rows == rb.cols).astype(mesh.dtype)
-    out = jnp.zeros(mesh.n_nodes, dtype=mesh.dtype)
-    return out.at[rb.rows].add(mask * rb.vals)
+    lead = rb.vals.shape[:-1]
+    out = jnp.zeros(lead + (mesh.n_nodes,), dtype=mesh.dtype)
+    return out.at[..., rb.rows].add(mask * rb.vals)

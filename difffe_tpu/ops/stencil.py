@@ -169,6 +169,68 @@ def load_grid(grid: StructuredGrid, f: jax.Array) -> jax.Array:
     return F
 
 
+def stencil_kappa_grad(grid: StructuredGrid, lam: jax.Array, w: jax.Array):
+    """∂(λᵀ K(κ) w)/∂κ per triangle, closed form — no autodiff tape.
+
+    K = Σ_quads κ_low·K_low + κ_up·K_up (local_blocks), so the gradient for
+    each triangle is λ|_tri ᵀ · K_unit · w|_tri: nine fused multiply-adds of
+    shifted node-grid slices.  Returns (g_lower, g_upper), (..., ny, nx).
+    """
+    hx2, hy2 = grid.hx ** 2, grid.hy ** 2
+    s = 1.0 / (2.0 * grid.hx * grid.hy)
+    la, lb = lam[..., :-1, :-1], lam[..., :-1, 1:]
+    lc, ld = lam[..., 1:, 1:], lam[..., 1:, :-1]
+    wa, wb = w[..., :-1, :-1], w[..., :-1, 1:]
+    wc, wd = w[..., 1:, 1:], w[..., 1:, :-1]
+    # vertex order lower=(a,b,d), upper=(b,c,d); unit blocks in local_blocks
+    g_low = s * (la * ((hx2 + hy2) * wa - hy2 * wb - hx2 * wd)
+                 + lb * (hy2 * (wb - wa))
+                 + ld * (hx2 * (wd - wa)))
+    g_up = s * (lb * (hx2 * (wb - wc))
+                + lc * (-hx2 * wb + (hx2 + hy2) * wc - hy2 * wd)
+                + ld * (hy2 * (wd - wc)))
+    return g_low, g_up
+
+
+def _reduce_to(x: jax.Array, shape) -> jax.Array:
+    """Sum away broadcasted lead axes so a cotangent matches its primal."""
+    extra = x.ndim - len(shape)
+    if extra > 0:
+        x = x.sum(axis=tuple(range(extra)))
+    return x
+
+
+def residual_vjp_manual(grid: StructuredGrid, kappa_lu, f, g, u, lam,
+                        C: Optional[jax.Array] = None):
+    """Cotangents of the IFT residual map, in closed form.
+
+    For R(κ, f, g) = b(f, g, κ) − A(κ)u at fixed u, returns
+    (λᵀ∂R/∂κ, λᵀ∂R/∂f, λᵀ∂R/∂g) with shapes reduced to the primals.
+    Replaces ``jax.vjp(residual, ...)``: the tape transpose materialized
+    7-plane ∂C cotangents and re-ran the coefficient assembly; this is a
+    handful of fused slice expressions.  Measured on TPU v5e (64×64, B=64,
+    128-iter Pallas CG): +2.6% end-to-end on the gradient path — the two
+    CG solves dominate, so the win is mostly clarity + fewer materialized
+    intermediates.  Grads agree with the tape to 1e-7 (f32).
+
+    Derivation: λᵀR = λᵀ(m⊙g) + (pλ)ᵀF(f) − (pλ)ᵀK(w) − λᵀ(m⊙u), with
+    w = m⊙g + p⊙u, so ∂f = F*(pλ) (F is symmetric), ∂g = m⊙(λ − K(pλ))
+    (K symmetric), ∂κ = −(λ|_tri)ᵀ K_unit (w|_tri) per triangle.
+    """
+    kl, ku = kappa_lu
+    m = boundary_mask_grid(grid, lam.dtype)
+    p = 1.0 - m
+    pl_ = p * lam
+    w = m * g + p * u
+    g_low, g_up = stencil_kappa_grad(grid, pl_, w)
+    if C is None:
+        C = stencil_coefficients(grid, kl, ku)
+    grad_f = load_grid(grid, pl_)
+    grad_g = m * (lam - stencil_apply(C, pl_))
+    return ((_reduce_to(-g_low, kl.shape), _reduce_to(-g_up, ku.shape)),
+            _reduce_to(grad_f, f.shape), _reduce_to(grad_g, g.shape))
+
+
 def _operator(C, m, v):
     p = 1.0 - m
     return m * v + p * stencil_apply(C, p * v)
@@ -246,19 +308,7 @@ def _bwd(grid, tol, maxiter, res, gbar):
     Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
     maxit = maxiter if maxiter is not None else (grid.nx + 1) * (grid.ny + 1)
     lam = _pcg_grid(C, m, gbar, Minv, jnp.zeros_like(gbar), tol, maxit)
-
-    def residual(kappa_lu_, f_, g_):
-        kl_, ku_ = kappa_lu_
-        C_ = stencil_coefficients(grid, kl_, ku_)
-        p = 1.0 - m
-        F_ = load_grid(grid, f_)
-        b_ = m * g_ + p * (F_ - stencil_apply(C_, m * g_))
-        u_fixed = jax.lax.stop_gradient(u)
-        Au = m * u_fixed + p * stencil_apply(C_, p * u_fixed)
-        return b_ - Au
-
-    _, vjp = jax.vjp(residual, kappa_lu, f, g)
-    return vjp(lam)
+    return residual_vjp_manual(grid, kappa_lu, f, g, u, lam, C=C)
 
 
 solve_poisson_structured.defvjp(_fwd, _bwd)

@@ -69,8 +69,8 @@ def solve_poisson(
     neumann : optional (n_nodes,) natural-BC boundary load (built with
         ops/neumann.py helpers), added to F before Dirichlet elimination.
     robin : optional ops/robin.py RobinBC — adds the ∮αuv ds boundary
-        stiffness and ∮rv ds load (dense/lu always; tridiag when
-        diagonal-only, i.e. 1D point Robin; cg not supported).
+        stiffness and ∮rv ds load (dense/lu and matrix-free cg always;
+        tridiag when diagonal-only, i.e. 1D point Robin).
 
     Returns ``u`` of shape (n_nodes,).  Differentiable wrt kappa, f, mesh
     coordinates, and BC values.
@@ -120,13 +120,13 @@ def solve_poisson(
                            bc_values=jnp.asarray(bc_values, mesh.dtype))
 
     if method == "cg":
-        if robin is not None:
-            raise ValueError("Robin BCs are not supported on the matrix-"
-                             "free CG path yet; use method='dense'")
         F = assemble_load(mesh, f)
         if neumann is not None:
             F = F + jnp.asarray(neumann, dtype=mesh.dtype)
         # custom_vjp functions take positional args only
+        if robin is not None:
+            return _cg.solve_poisson_cg_robin(mesh, kappa, F, robin,
+                                              cg_tol, cg_maxiter)
         return _cg.solve_poisson_cg(mesh, kappa, F, cg_tol, cg_maxiter)
 
     if method in ("dense", "lu"):
@@ -173,6 +173,12 @@ def solve_poisson_batched(
         bc_values = jnp.asarray(bc_values, dtype=mesh.dtype)
     f_batched = f.ndim >= 2
     g_batched = bc_values is not None and bc_values.ndim >= 2
+    # Neumann loads and Robin α/r are scenario axes too (SURVEY.md §2b):
+    # batched even when κ/f/bc are shared.
+    _nm = kw.get("neumann", None)
+    _nm_b = _nm is not None and jnp.asarray(_nm).ndim >= 2
+    _rb = kw.get("robin", None)
+    _rb_b = _rb is not None and (_rb.vals.ndim >= 2 or _rb.load.ndim >= 2)
 
     if kappa_batched is not None:
         k_batched = kappa_batched and kappa.ndim >= 1
@@ -194,7 +200,7 @@ def solve_poisson_batched(
     else:
         k_batched = False
 
-    if not (k_batched or f_batched or g_batched):
+    if not (k_batched or f_batched or g_batched or _nm_b or _rb_b):
         return solve_poisson(mesh, kappa, f, method=method,
                              bc_values=bc_values, **kw)
 
@@ -218,6 +224,7 @@ def solve_poisson_batched(
                 raise ValueError("tridiagonal path supports diagonal-only "
                                  "Robin terms; use method='dense'")
             from .ops.robin import robin_diag
+            # robin_diag/load carry any per-scenario lead dims of α, r
             d = d + robin_diag(mesh, robin)
             F = F + robin.load
         lead = jnp.broadcast_shapes(d.shape[:-1], F.shape[:-1],
@@ -234,13 +241,29 @@ def solve_poisson_batched(
     if neumann is not None:
         neumann = jnp.asarray(neumann, dtype=mesh.dtype)
     nm_batched = neumann is not None and neumann.ndim >= 2
-    fn = lambda k, ff, g, nm: solve_poisson(mesh, k, ff, method=method,
-                                            bc_values=g, neumann=nm, **kw)
+    robin = kw.pop("robin", None)
+    # Per-scenario Robin: a RobinBC whose vals/load carry a leading batch
+    # axis (built with batched α / r) vmaps alongside κ, f, bc, neumann;
+    # rows/cols stay shared (static sparsity pattern).
+    rb_batched = robin is not None and (robin.vals.ndim >= 2
+                                        or robin.load.ndim >= 2)
+    if rb_batched:
+        import dataclasses as _dc
+        rb_axes = _dc.replace(
+            robin, rows=None, cols=None,
+            vals=0 if robin.vals.ndim >= 2 else None,
+            load=0 if robin.load.ndim >= 2 else None)
+    else:
+        rb_axes = None
+    fn = lambda k, ff, g, nm, rb: solve_poisson(
+        mesh, k, ff, method=method, bc_values=g, neumann=nm,
+        robin=rb if rb is not None else robin, **kw)
     return jax.vmap(fn, in_axes=(0 if k_batched else None,
                                  0 if f_batched else None,
                                  0 if g_batched else None,
-                                 0 if nm_batched else None))(
-        kappa, f, bc_values, neumann)
+                                 0 if nm_batched else None,
+                                 rb_axes))(
+        kappa, f, bc_values, neumann, robin if rb_batched else None)
 
 
 class DifferentiableFESolver:

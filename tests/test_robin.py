@@ -74,13 +74,121 @@ class TestRobin2D:
                           robin=rb)
         np.testing.assert_allclose(np.asarray(u), np.asarray(x), atol=1e-9)
 
-    def test_cg_rejects_robin(self):
-        mesh = self._left_dirichlet_mesh(4, 4)
-        rb = robin_edges(mesh, boundary_edges(mesh)[:1], 1.0,
-                         jnp.ones(mesh.n_nodes))
-        with pytest.raises(ValueError, match="dense"):
-            solve_poisson(mesh, 1.0, jnp.zeros(mesh.n_nodes), method="cg",
-                          robin=rb)
+    def test_cg_matches_dense(self):
+        """Matrix-free CG with Robin == dense assembly with Robin."""
+        mesh = self._left_dirichlet_mesh(8, 8)
+        x = mesh.nodes[:, 0]
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        rb = robin_edges(mesh, right, alpha=1.5,
+                         r_nodal=jnp.sin(3.0 * x) + 1.0)
+        f = jnp.cos(2.0 * x)
+        u_dense = solve_poisson(mesh, 1.3, f, method="dense", robin=rb)
+        u_cg = solve_poisson(mesh, 1.3, f, method="cg", robin=rb,
+                             cg_tol=1e-12)
+        np.testing.assert_allclose(np.asarray(u_cg), np.asarray(u_dense),
+                                   atol=1e-8)
+
+    def test_cg_linear_solution_right_edge(self):
+        """Same manufactured u=x as the dense test, on the CG path."""
+        mesh = self._left_dirichlet_mesh(8, 8)
+        x = mesh.nodes[:, 0]
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        rb = robin_edges(mesh, right, alpha=1.0,
+                         r_nodal=2.0 * jnp.ones(mesh.n_nodes))
+        u = solve_poisson(mesh, 1.0, jnp.zeros_like(x), method="cg",
+                          robin=rb, cg_tol=1e-13)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(x), atol=1e-8)
+
+    def test_cg_gradients_wrt_alpha_and_r(self):
+        """IFT adjoint on the Robin-CG path: ∂/∂α and ∂/∂r vs dense autodiff
+        and vs central finite differences."""
+        mesh = self._left_dirichlet_mesh(6, 6)
+        x = mesh.nodes[:, 0]
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        f = jnp.ones(mesh.n_nodes)
+
+        def loss(alpha, r0, method):
+            rb = robin_edges(mesh, right, alpha=alpha,
+                             r_nodal=r0 * jnp.ones(mesh.n_nodes))
+            u = solve_poisson(mesh, 1.0, f, method=method, robin=rb,
+                              cg_tol=1e-13)
+            return jnp.sum(u ** 2)
+
+        g_cg = jax.grad(loss, argnums=(0, 1))(1.2, 0.7, "cg")
+        g_dn = jax.grad(loss, argnums=(0, 1))(1.2, 0.7, "dense")
+        for gc, gd in zip(g_cg, g_dn):
+            assert abs(float(gc) - float(gd)) < 1e-6 * max(1.0,
+                                                           abs(float(gd)))
+        eps = 1e-6
+        fd_a = (float(loss(1.2 + eps, 0.7, "cg"))
+                - float(loss(1.2 - eps, 0.7, "cg"))) / (2 * eps)
+        assert abs(float(g_cg[0]) - fd_a) < 1e-5 * max(1.0, abs(fd_a))
+
+    def test_batched_robin_edges_vmap(self):
+        """Per-scenario Robin α over vmap == per-scenario dense solves."""
+        from difffe_tpu.solver import solve_poisson_batched
+        mesh = self._left_dirichlet_mesh(6, 6)
+        x = mesh.nodes[:, 0]
+        right = boundary_edges(mesh,
+                               predicate=lambda p: abs(p[0] - 1.0) < 1e-12)
+        alphas = jnp.array([0.5, 1.0, 2.0])
+        rb = robin_edges(mesh, right, alpha=alphas[:, None],
+                         r_nodal=jnp.ones(mesh.n_nodes))
+        f = jnp.cos(x)
+        u_b = solve_poisson_batched(mesh, 1.0, f, method="dense", robin=rb)
+        assert u_b.shape == (3, mesh.n_nodes)
+        for b, a in enumerate(alphas):
+            rb1 = robin_edges(mesh, right, alpha=float(a),
+                              r_nodal=jnp.ones(mesh.n_nodes))
+            u1 = solve_poisson(mesh, 1.0, f, method="dense", robin=rb1)
+            np.testing.assert_allclose(np.asarray(u_b[b]), np.asarray(u1),
+                                       atol=1e-12)
+
+    def test_batched_robin_with_batched_neumann(self):
+        """Per-scenario Robin + per-scenario Neumann loads together through
+        the vmap path (κ/f shared) — closes the SURVEY §2b scenario triad."""
+        from difffe_tpu.ops.neumann import point_flux
+        from difffe_tpu.solver import solve_poisson_batched
+        mesh = FEMesh.line(n_elements=8, bc_right=None)
+        x = mesh.nodes[:, 0]
+        B = 4
+        alphas = jnp.linspace(0.5, 2.0, B)
+        rs = jnp.linspace(1.0, 3.0, B)
+        rb = robin_point(mesh, mesh.n_nodes - 1, alpha=alphas, r=rs)
+        # per-scenario point sources at an interior node (a load at the
+        # Dirichlet node 0 would be eliminated and test nothing)
+        nm = jnp.stack([point_flux(mesh, 3, float(q))
+                        for q in jnp.linspace(0.1, 0.4, B)])
+        u_b = solve_poisson_batched(mesh, 1.0, jnp.zeros_like(x),
+                                    method="dense", robin=rb, neumann=nm)
+        assert u_b.shape == (B, mesh.n_nodes)
+        for b in range(B):
+            rb1 = robin_point(mesh, mesh.n_nodes - 1,
+                              alpha=float(alphas[b]), r=float(rs[b]))
+            u1 = solve_poisson(mesh, 1.0, jnp.zeros_like(x),
+                               method="dense", robin=rb1, neumann=nm[b])
+            np.testing.assert_allclose(np.asarray(u_b[b]), np.asarray(u1),
+                                       atol=1e-12)
+
+    def test_batched_point_robin_tridiag_fast_path(self):
+        """Diagonal-only batched Robin rides the fused tridiagonal path."""
+        from difffe_tpu.solver import solve_poisson_batched
+        mesh = FEMesh.line(n_elements=10, bc_right=None)
+        x = mesh.nodes[:, 0]
+        B = 5
+        alphas = jnp.linspace(0.5, 4.0, B)
+        # u″=0, u(0)=0, u′(1)+αu(1)=1+α → u=x for every α
+        rb = robin_point(mesh, mesh.n_nodes - 1, alpha=alphas,
+                         r=1.0 + alphas)
+        u_b = solve_poisson_batched(mesh, 1.0, jnp.zeros_like(x),
+                                    method="tridiag", robin=rb)
+        assert u_b.shape == (B, mesh.n_nodes)
+        np.testing.assert_allclose(
+            np.asarray(u_b), np.broadcast_to(np.asarray(x), (B, len(x))),
+            atol=1e-10)
 
     def test_edge_robin_on_tridiag_rejected(self):
         mesh = FEMesh.line(n_elements=6, bc_right=None)

@@ -169,3 +169,87 @@ class TestStructuredSolve:
         u0 = solve_poisson_structured(grid, (kl[0], kl[0]), f[0], g)
         np.testing.assert_allclose(np.asarray(u[0]), np.asarray(u0),
                                    atol=1e-10)
+
+
+class TestManualResidualVJP:
+    """Closed-form IFT residual cotangents == jax.vjp of the residual map."""
+
+    def test_matches_autodiff_transpose(self):
+        from difffe_tpu.ops.stencil import (
+            StructuredGrid, boundary_mask_grid, load_grid, residual_vjp_manual,
+            stencil_apply, stencil_coefficients)
+        grid = StructuredGrid.unit(6, 5)
+        H, W = grid.node_shape
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        kl = 1.0 + jax.random.uniform(k1, (grid.ny, grid.nx))
+        ku = 1.0 + jax.random.uniform(k2, (grid.ny, grid.nx))
+        f = jax.random.normal(k3, (H, W))
+        g = jax.random.normal(k4, (H, W)) * 0.1
+        u = jax.random.normal(k5, (H, W))
+        lam = jax.random.normal(k6, (H, W))
+        m = boundary_mask_grid(grid, f.dtype)
+
+        def residual(kappa_lu_, f_, g_):
+            kl_, ku_ = kappa_lu_
+            C_ = stencil_coefficients(grid, kl_, ku_)
+            p = 1.0 - m
+            b_ = m * g_ + p * (load_grid(grid, f_)
+                               - stencil_apply(C_, m * g_))
+            Au = m * u + p * stencil_apply(C_, p * u)
+            return b_ - Au
+
+        _, vjp = jax.vjp(residual, (kl, ku), f, g)
+        (gkl_a, gku_a), gf_a, gg_a = vjp(lam)
+        (gkl_m, gku_m), gf_m, gg_m = residual_vjp_manual(
+            grid, (kl, ku), f, g, u, lam)
+        np.testing.assert_allclose(np.asarray(gkl_m), np.asarray(gkl_a),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gku_m), np.asarray(gku_a),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gf_m), np.asarray(gf_a),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gg_m), np.asarray(gg_a),
+                                   atol=1e-10)
+
+    def test_batched_reduces_unbatched_cotangents(self):
+        """Batched λ/u with shared κ/f/g: manual grads sum over the batch,
+        matching the vjp of the broadcasted residual."""
+        from difffe_tpu.ops.stencil import (
+            StructuredGrid, boundary_mask_grid, load_grid, residual_vjp_manual,
+            stencil_apply, stencil_coefficients)
+        grid = StructuredGrid.unit(4, 4)
+        H, W = grid.node_shape
+        B = 3
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        kl = 1.0 + jax.random.uniform(k1, (grid.ny, grid.nx))
+        ku = 1.0 + jax.random.uniform(k2, (grid.ny, grid.nx))
+        f = jax.random.normal(k3, (H, W))
+        g = jax.random.normal(k4, (H, W)) * 0.1
+        u = jax.random.normal(k5, (B, H, W))
+        lam = jax.random.normal(k6, (B, H, W))
+        m = boundary_mask_grid(grid, f.dtype)
+
+        def residual(kappa_lu_, f_, g_):
+            kl_, ku_ = kappa_lu_
+            C_ = stencil_coefficients(grid, kl_, ku_)
+            p = 1.0 - m
+            b_ = m * g_ + p * (load_grid(grid, f_)
+                               - stencil_apply(C_, m * g_))
+            Au = m * u + p * stencil_apply(C_, p * u)
+            return b_ - Au
+
+        _, vjp = jax.vjp(residual, (kl, ku), f, g)
+        (gkl_a, gku_a), gf_a, gg_a = vjp(lam)
+        (gkl_m, gku_m), gf_m, gg_m = residual_vjp_manual(
+            grid, (kl, ku), f, g, u, lam)
+        assert gkl_m.shape == kl.shape and gf_m.shape == f.shape
+        np.testing.assert_allclose(np.asarray(gkl_m), np.asarray(gkl_a),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gku_m), np.asarray(gku_a),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gf_m), np.asarray(gf_a),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gg_m), np.asarray(gg_a),
+                                   atol=1e-10)
