@@ -145,10 +145,10 @@ def v_cycle(levels, b: jax.Array, level: int = 0,
 # MG-preconditioned CG solve (IFT custom VJP)
 # --------------------------------------------------------------------------
 
-def _pcg_mg(levels, b, x0, tol, maxiter):
+def _pcg_mg(levels, b, x0, tol, maxiter, gamma: int = 2):
     C, m, _ = levels[0]
     A = lambda v: _A(C, m, v)
-    Minv = lambda r: v_cycle(levels, (1.0 - m) * r) + m * r
+    Minv = lambda r: v_cycle(levels, (1.0 - m) * r, gamma=gamma) + m * r
 
     r = b - A(x0)
     z = Minv(r)
@@ -191,51 +191,46 @@ def _mg_setup(grid, kappa_lu, f, g, max_levels):
     return levels, b, x0
 
 
-def _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels):
+def _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels, gamma):
     levels, b, x0 = _mg_setup(grid, kappa_lu, f, g, max_levels)
     maxiter = maxiter if maxiter is not None else 100
-    x, _, _ = _pcg_mg(levels, b, x0, tol, maxiter)
+    x, _, _ = _pcg_mg(levels, b, x0, tol, maxiter, gamma)
     return x
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7))
 def solve_poisson_structured_mg(grid: StructuredGrid, kappa_lu, f: jax.Array,
                                 g: jax.Array, tol: float = 1e-10,
                                 maxiter: Optional[int] = None,
-                                max_levels: int = 6) -> jax.Array:
-    """MG(V-cycle)-preconditioned CG Poisson solve on the structured grid.
+                                max_levels: int = 6,
+                                gamma: int = 2) -> jax.Array:
+    """MG-preconditioned CG Poisson solve on the structured grid.
 
     Same contract as ``solve_poisson_structured``; iteration counts are
-    mesh-independent (~10-20 to 1e-10), so large grids cost O(N)."""
-    return _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels)
+    mesh-independent (~10-20 to 1e-10), so large grids cost O(N).
+
+    ``gamma`` is the cycle index (2 = W-cycle default, 1 = V-cycle) and
+    ``max_levels`` caps hierarchy depth.  Both trade convergence per
+    iteration against traced-graph size: the W-cycle visits level L
+    2^L times, so at deep hierarchies (128×128+, 6 levels) XLA compile
+    time grows steeply — prefer gamma=1 or max_levels=4 there when
+    compile latency matters more than iteration count."""
+    return _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels, gamma)
 
 
-def _mg_fwd(grid, kappa_lu, f, g, tol, maxiter, max_levels):
-    u = _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels)
+def _mg_fwd(grid, kappa_lu, f, g, tol, maxiter, max_levels, gamma):
+    u = _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels, gamma)
     return u, (kappa_lu, f, g, u)
 
 
-def _mg_bwd(grid, tol, maxiter, max_levels, res, gbar):
+def _mg_bwd(grid, tol, maxiter, max_levels, gamma, res, gbar):
     kappa_lu, f, g, u = res
     kl, ku = kappa_lu
     levels = build_hierarchy(grid, kl, ku, max_levels)
     maxit = maxiter if maxiter is not None else 100
-    lam, _, _ = _pcg_mg(levels, gbar, jnp.zeros_like(gbar), tol, maxit)
-    m = levels[0][1]
-    p = 1.0 - m
-
-    def residual(kappa_lu_, f_, g_):
-        kl_, ku_ = kappa_lu_
-        C_ = stencil_coefficients(grid, kl_, ku_)
-        F_ = load_grid(grid, f_)
-        mg_ = m * g_
-        b_ = mg_ + p * (F_ - stencil_apply(C_, mg_))
-        u_fixed = jax.lax.stop_gradient(u)
-        Au = m * u_fixed + p * stencil_apply(C_, p * u_fixed)
-        return b_ - Au
-
-    _, vjp = jax.vjp(residual, kappa_lu, f, g)
-    return vjp(lam)
+    lam, _, _ = _pcg_mg(levels, gbar, jnp.zeros_like(gbar), tol, maxit, gamma)
+    from .stencil import residual_vjp_manual
+    return residual_vjp_manual(grid, kappa_lu, f, g, u, lam, C=levels[0][0])
 
 
 solve_poisson_structured_mg.defvjp(_mg_fwd, _mg_bwd)
@@ -243,8 +238,8 @@ solve_poisson_structured_mg.defvjp(_mg_fwd, _mg_bwd)
 
 def mg_diagnostics(grid: StructuredGrid, kappa_lu, f, g,
                    tol: float = 1e-10, maxiter: int = 100,
-                   max_levels: int = 6):
+                   max_levels: int = 6, gamma: int = 2):
     """(u, iterations, final residual norm) — observability companion."""
     levels, b, x0 = _mg_setup(grid, kappa_lu, f, g, max_levels)
-    x, iters, r = _pcg_mg(levels, b, x0, tol, maxiter)
+    x, iters, r = _pcg_mg(levels, b, x0, tol, maxiter, gamma)
     return x, iters, jnp.sqrt(jnp.sum(r * r))
