@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
 N_ELEMENTS = 30
-BATCH = 32768  # dispatch-latency amortization: 8192 leaves the chip idle
+# Batch sweep on-chip (2026-08-18): 32k→22.5M, 64k→34.8M, 128k→31.8M,
+# 256k→26.9M solves/s — 64k amortizes dispatch without thrashing HBM.
+BATCH = 65536
 TIMED_ITERS = 30
 
 

@@ -47,6 +47,11 @@ def kappa_on_elements(mesh: FEMesh, kappa) -> jax.Array:
     (averaged over each element's nodes — P1 midpoint value).
     """
     kappa = jnp.asarray(kappa, dtype=mesh.dtype)
+    if is_tensor_kappa(mesh, kappa):
+        raise ValueError(
+            "tensor-valued kappa reached a scalar-diffusion path; tensor "
+            "diffusivity is supported on P1 triangle meshes via "
+            "method='dense'/'lu'/'cg' only")
     ne, nn = mesh.n_elements, mesh.n_nodes
     if kappa.ndim == 0:
         return jnp.broadcast_to(kappa, (ne,))
@@ -58,6 +63,32 @@ def kappa_on_elements(mesh: FEMesh, kappa) -> jax.Array:
         f"kappa shape {kappa.shape} matches neither n_elements={ne} "
         f"nor n_nodes={nn}"
     )
+
+
+def is_tensor_kappa(mesh: FEMesh, kappa) -> bool:
+    """True when κ is a 2×2 diffusion tensor (anisotropic −∇·(A∇u) = f):
+    any shape with trailing dims (2, 2) on a 2D mesh."""
+    shape = jnp.shape(kappa)
+    return mesh.dim == 2 and len(shape) >= 2 and shape[-2:] == (2, 2)
+
+
+def kappa_tensor_on_elements(mesh: FEMesh, A) -> jax.Array:
+    """Normalize a diffusion tensor to per-element ``(n_elements, 2, 2)``.
+
+    Accepts constant (2, 2), per-element (n_elements, 2, 2), or per-node
+    (n_nodes, 2, 2) (averaged over each element's vertices).
+    """
+    A = jnp.asarray(A, dtype=mesh.dtype)
+    ne, nn = mesh.n_elements, mesh.n_nodes
+    if A.ndim == 2:
+        return jnp.broadcast_to(A, (ne, 2, 2))
+    if A.shape[-3] == ne:
+        return A
+    if A.shape[-3] == nn:
+        return jnp.mean(A[..., mesh.elements, :, :], axis=-3)
+    raise ValueError(
+        f"tensor kappa shape {A.shape} matches neither "
+        f"(n_elements={ne}, 2, 2) nor (n_nodes={nn}, 2, 2)")
 
 
 # --------------------------------------------------------------------------
@@ -91,13 +122,24 @@ def element_geometry_2d(mesh: FEMesh):
 def local_stiffness_2d(mesh: FEMesh, kappa) -> jax.Array:
     """Per-element 3×3 stiffness blocks ``(n_elements, 3, 3)``.
 
-    K_e[p,q] = κ_e (b_p b_q + c_p c_q)/(4A_e), zeroed for degenerate
-    triangles (reference solver.py:120-121,137-140).
+    Scalar/field κ: K_e[p,q] = κ_e (b_p b_q + c_p c_q)/(4A_e), zeroed for
+    degenerate triangles (reference solver.py:120-121,137-140).
+
+    Tensor κ (anisotropic diffusion, beyond the reference — shape with
+    trailing (2, 2)): K_e[p,q] = (b_p, c_p) A_e (b_q, c_q)ᵀ / (4A_e);
+    reduces to the scalar formula when A = κI.
     """
     b, c, area = element_geometry_2d(mesh)
+    safe_area = jnp.where(area < DEGENERATE_AREA_TOL, 1.0, area)
+    if is_tensor_kappa(mesh, kappa):
+        A = kappa_tensor_on_elements(mesh, kappa)      # (ne, 2, 2)
+        g = jnp.stack([b, c], axis=-1)                 # (ne, 3, 2)
+        gram = jnp.einsum("epi,eij,eqj->epq", g, A, g)
+        scale = jnp.where(area < DEGENERATE_AREA_TOL, 0.0,
+                          1.0 / (4.0 * safe_area))
+        return scale[:, None, None] * gram
     ke = kappa_on_elements(mesh, kappa)
     gram = b[:, :, None] * b[:, None, :] + c[:, :, None] * c[:, None, :]
-    safe_area = jnp.where(area < DEGENERATE_AREA_TOL, 1.0, area)
     scale = jnp.where(area < DEGENERATE_AREA_TOL, 0.0,
                       ke / (4.0 * safe_area))
     return scale[:, None, None] * gram

@@ -61,7 +61,11 @@ def solve_poisson(
 
     Parameters
     ----------
-    kappa : scalar, (n_elements,), or (n_nodes,) diffusion coefficient.
+    kappa : scalar, (n_elements,), or (n_nodes,) diffusion coefficient;
+        on 2D P1 meshes also a diffusion TENSOR for anisotropic
+        −∇·(A∇u) = f — (2, 2) constant, (n_elements, 2, 2), or
+        (n_nodes, 2, 2), dense/lu/cg methods (beyond the reference,
+        which supports 0-dim κ only — solver.py:29 vs its RuntimeError).
     f : (n_nodes,) nodal forcing values.
     method : 'auto' | 'dense' | 'lu' | 'tridiag' | 'tridiag_pallas' | 'cg'.
     bc_values : optional (n_nodes,) override of the mesh's Dirichlet values
@@ -180,12 +184,17 @@ def solve_poisson_batched(
     _rb = kw.get("robin", None)
     _rb_b = _rb is not None and (_rb.vals.ndim >= 2 or _rb.load.ndim >= 2)
 
+    # Tensor (anisotropic) κ carries trailing (2, 2) dims that are not
+    # batch axes — batch detection runs on the core shape in front of them.
+    from .ops.assembly import is_tensor_kappa
+    k_core = kappa.shape[:-2] if is_tensor_kappa(mesh, kappa) \
+        else kappa.shape
     if kappa_batched is not None:
-        k_batched = kappa_batched and kappa.ndim >= 1
-    elif kappa.ndim == 2:
+        k_batched = kappa_batched and len(k_core) >= 1
+    elif len(k_core) == 2:
         k_batched = True
-    elif kappa.ndim == 1:
-        L = kappa.shape[0]
+    elif len(k_core) == 1:
+        L = k_core[0]
         looks_field = L in (mesh.n_elements, mesh.n_nodes)
         batch_sizes = ({f.shape[0]} if f_batched else set()) | (
             {bc_values.shape[0]} if g_batched else set())
@@ -193,9 +202,9 @@ def solve_poisson_batched(
             (L in batch_sizes)
         if looks_field and looks_batch:
             raise ValueError(
-                f"ambiguous 1-D kappa of length {L}: could be a shared "
-                f"per-element/per-node field or B={L} per-scenario scalars "
-                f"— pass kappa_batched=True (scalars) or False (field)")
+                f"ambiguous kappa lead dim of length {L}: could be a shared "
+                f"per-element/per-node field or B={L} per-scenario values "
+                f"— pass kappa_batched=True (batch) or False (field)")
         k_batched = looks_batch and not looks_field
     else:
         k_batched = False

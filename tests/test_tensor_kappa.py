@@ -1,0 +1,169 @@
+"""Anisotropic (tensor) diffusion −∇·(A∇u) = f on 2D P1 meshes.
+
+Beyond the reference (scalar κ only, and even that broken for non-0-dim —
+/root/reference/diffhe/solver.py:29): A may be a constant (2,2), a
+per-element/per-node field, or carry a scenario-batch axis; dense and
+matrix-free CG paths; gradients to every tensor entry.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import (
+    assemble_stiffness_dense,
+    is_tensor_kappa,
+    kappa_tensor_on_elements,
+    local_stiffness_2d,
+)
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+
+
+class TestTensorAssembly:
+    def test_identity_tensor_matches_scalar(self):
+        mesh = FEMesh.rectangle(5, 4)
+        A = 1.7 * jnp.eye(2)
+        K_t = assemble_stiffness_dense(mesh, A)
+        K_s = assemble_stiffness_dense(mesh, 1.7)
+        np.testing.assert_allclose(np.asarray(K_t), np.asarray(K_s),
+                                   atol=1e-12)
+
+    def test_per_element_identity_matches_field(self):
+        mesh = FEMesh.rectangle(4, 4)
+        ke = 1.0 + jax.random.uniform(jax.random.PRNGKey(0),
+                                      (mesh.n_elements,))
+        A = ke[:, None, None] * jnp.eye(2)
+        np.testing.assert_allclose(
+            np.asarray(assemble_stiffness_dense(mesh, A)),
+            np.asarray(assemble_stiffness_dense(mesh, ke)), atol=1e-12)
+
+    def test_symmetric_tensor_gives_symmetric_K(self):
+        mesh = FEMesh.rectangle(5, 5)
+        A = jnp.array([[2.0, 0.5], [0.5, 1.0]])
+        K = assemble_stiffness_dense(mesh, A)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K).T,
+                                   atol=1e-12)
+
+    def test_per_node_tensor_averages(self):
+        mesh = FEMesh.rectangle(3, 3)
+        An = jnp.broadcast_to(jnp.eye(2), (mesh.n_nodes, 2, 2))
+        Ae = kappa_tensor_on_elements(mesh, An)
+        assert Ae.shape == (mesh.n_elements, 2, 2)
+        np.testing.assert_allclose(
+            np.asarray(Ae), np.broadcast_to(np.eye(2),
+                                            (mesh.n_elements, 2, 2)))
+
+    def test_scalar_path_rejects_tensor(self):
+        mesh = FEMesh.rectangle(3, 3)
+        from difffe_tpu.ops.assembly import kappa_on_elements
+        with pytest.raises(ValueError, match="tensor"):
+            kappa_on_elements(mesh, jnp.eye(2))
+
+    def test_is_tensor_kappa(self):
+        mesh2 = FEMesh.rectangle(3, 3)
+        mesh1 = FEMesh.line(4)
+        assert is_tensor_kappa(mesh2, jnp.eye(2))
+        assert not is_tensor_kappa(mesh2, jnp.ones(mesh2.n_elements))
+        assert not is_tensor_kappa(mesh1, jnp.eye(2))
+
+
+class TestTensorSolve:
+    def _err_manufactured(self, n, A):
+        """u = sin(πx)sin(πy) ⇒ f = (a11 + a22)π² u for constant A
+        (mixed term ∂²u/∂x∂y = π²cos·cos integrates against the a12
+        terms; for u with separated sines, −∇·(A∇u) =
+        (a11+a22)π²u − 2a12π²cos(πx)cos(πy))."""
+        mesh = FEMesh.rectangle(n, n)
+        x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+        pi = jnp.pi
+        u_exact = jnp.sin(pi * x) * jnp.sin(pi * y)
+        f = ((A[0, 0] + A[1, 1]) * pi ** 2 * u_exact
+             - 2.0 * A[0, 1] * pi ** 2 * jnp.cos(pi * x) * jnp.cos(pi * y))
+        u = solve_poisson(mesh, A, f, method="dense")
+        return float(jnp.max(jnp.abs(u - u_exact)))
+
+    def test_manufactured_convergence_diagonal(self):
+        A = jnp.array([[2.0, 0.0], [0.0, 0.5]])
+        e1 = self._err_manufactured(8, A)
+        e2 = self._err_manufactured(16, A)
+        assert e2 < e1 / 3.0    # ~O(h²), same gate as the reference's
+                                # convergence test (test_fem.py:114-132)
+
+    def test_manufactured_convergence_full_tensor(self):
+        A = jnp.array([[2.0, 0.6], [0.6, 1.0]])
+        e1 = self._err_manufactured(8, A)
+        e2 = self._err_manufactured(16, A)
+        assert e2 < e1 / 3.0
+
+    def test_cg_matches_dense(self):
+        mesh = FEMesh.rectangle(8, 8)
+        A = jnp.array([[1.5, 0.4], [0.4, 0.8]])
+        f = jnp.cos(3.0 * mesh.nodes[:, 0]) + 1.0
+        u_d = solve_poisson(mesh, A, f, method="dense")
+        u_c = solve_poisson(mesh, A, f, method="cg", cg_tol=1e-12)
+        np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_d),
+                                   atol=1e-8)
+
+    @pytest.mark.parametrize("method", ["dense", "cg"])
+    def test_gradient_wrt_tensor_entries(self, method):
+        mesh = FEMesh.rectangle(5, 5)
+        f = jnp.ones(mesh.n_nodes)
+
+        def loss(A):
+            A_sym = 0.5 * (A + A.T)    # keep K symmetric for the cg path
+            u = solve_poisson(mesh, A_sym, f, method=method, cg_tol=1e-13)
+            return jnp.sum(u ** 2)
+
+        A0 = jnp.array([[1.5, 0.3], [0.3, 0.9]])
+        g = jax.grad(loss)(A0)
+        eps = 1e-6
+        for idx in ((0, 0), (0, 1), (1, 1)):
+            fd = (float(loss(A0.at[idx].add(eps)))
+                  - float(loss(A0.at[idx].add(-eps)))) / (2 * eps)
+            assert abs(float(g[idx]) - fd) < 1e-5 * max(1.0, abs(fd)), idx
+
+    def test_batched_tensor_scenarios(self):
+        """(B, 2, 2) per-scenario tensors vmap == per-scenario solves."""
+        mesh = FEMesh.rectangle(4, 4)
+        f = jnp.ones(mesh.n_nodes)
+        B = 3
+        thetas = jnp.array([0.0, 0.4, 0.9])
+
+        def rot_tensor(t):
+            R = jnp.array([[jnp.cos(t), -jnp.sin(t)],
+                           [jnp.sin(t), jnp.cos(t)]])
+            return R @ jnp.diag(jnp.array([2.0, 0.5])) @ R.T
+
+        As = jax.vmap(rot_tensor)(thetas)          # (B, 2, 2)
+        u_b = solve_poisson_batched(mesh, As, f, method="dense")
+        assert u_b.shape == (B, mesh.n_nodes)
+        for b in range(B):
+            u1 = solve_poisson(mesh, As[b], f, method="dense")
+            np.testing.assert_allclose(np.asarray(u_b[b]), np.asarray(u1),
+                                       atol=1e-12)
+
+    def test_batched_tensor_field(self):
+        """(B, n_elements, 2, 2) batched tensor fields."""
+        mesh = FEMesh.rectangle(3, 3)
+        f = jnp.ones(mesh.n_nodes)
+        B = 2
+        key = jax.random.PRNGKey(1)
+        diag = 1.0 + jax.random.uniform(key, (B, mesh.n_elements, 2))
+        As = jax.vmap(jax.vmap(jnp.diag))(diag)    # (B, ne, 2, 2)
+        u_b = solve_poisson_batched(mesh, As, f, method="dense")
+        assert u_b.shape == (B, mesh.n_nodes)
+        for b in range(B):
+            u1 = solve_poisson(mesh, As[b], f, method="dense")
+            np.testing.assert_allclose(np.asarray(u_b[b]), np.asarray(u1),
+                                       atol=1e-12)
+
+    def test_anisotropy_stretches_solution(self):
+        """Strong x-diffusion flattens u along x relative to y."""
+        mesh = FEMesh.rectangle(12, 12)
+        f = jnp.ones(mesh.n_nodes)
+        u_x = solve_poisson(mesh, jnp.diag(jnp.array([10.0, 1.0])), f)
+        # with much faster x-diffusion the solution is smaller everywhere
+        u_iso = solve_poisson(mesh, jnp.diag(jnp.array([1.0, 1.0])), f)
+        assert float(jnp.max(u_x)) < float(jnp.max(u_iso))
