@@ -30,6 +30,7 @@ from .assembly import (
     local_stiffness_2d,
     stiffness_apply,
 )
+from .pcg import pcg
 from .solve import apply_dirichlet_operator, dirichlet_rhs
 
 
@@ -48,35 +49,11 @@ def stiffness_diag(mesh: FEMesh, kappa) -> jax.Array:
 
 
 def _pcg(A, b, Minv, x0, tol: float, maxiter: int):
-    """Jacobi-preconditioned CG; tol=0 → fixed ``maxiter`` sweeps."""
-    r = b - A(x0)
-    z = Minv * r
-    p = z
-    rz = jnp.vdot(r, z)
-    bnorm2 = jnp.vdot(b, b)
-    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(bnorm2, 1e-30)
+    """Jacobi-preconditioned CG; tol=0 → fixed ``maxiter`` sweeps.
 
-    def cond(state):
-        _, r, _, rz, k = state
-        return (k < maxiter) & (jnp.vdot(r, r) > tol2)
-
-    def body(state):
-        x, r, p, rz, k = state
-        Ap = A(p)
-        # converged-safe divisions: past convergence p→0 and rz→0, which
-        # would make α, β = 0/0 NaN under a fixed trip count (tol=0 mode)
-        pAp = jnp.vdot(p, Ap)
-        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = Minv * r
-        rz_new = jnp.vdot(r, z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        return x, r, p, rz_new, k + 1
-
-    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
-    return x
+    Thin adapter over the shared converged-safe body (ops/pcg.py) with
+    ``Minv`` given as a diagonal array."""
+    return pcg(A, b, lambda r: Minv * r, x0, tol, maxiter)
 
 
 def _operator(mesh: FEMesh, kappa, v: jax.Array) -> jax.Array:
@@ -125,33 +102,10 @@ def cg_diagnostics(mesh: FEMesh, kappa, F: jax.Array,
     b = _rhs(mesh, kappa, F)
     Minv = _jacobi(mesh, kappa)
     x0 = jnp.broadcast_to(mesh.bc_mask * mesh.bc_values, b.shape)
-    A = lambda v: _operator(mesh, kappa, v)
-
-    r = b - A(x0)
-    z = Minv * r
-    p = z
-    rz = jnp.vdot(r, z)
+    x, iters, r = pcg(lambda v: _operator(mesh, kappa, v), b,
+                      lambda r_: Minv * r_, x0, tol, maxiter,
+                      with_diagnostics=True)
     bnorm2 = jnp.maximum(jnp.vdot(b, b), 1e-30)
-    tol2 = jnp.asarray(tol, b.dtype) ** 2 * bnorm2
-
-    def cond(state):
-        _, r, _, rz, k = state
-        return (k < maxiter) & (jnp.vdot(r, r) > tol2)
-
-    def body(state):
-        x, r, p, rz, k = state
-        Ap = A(p)
-        pAp = jnp.vdot(p, Ap)
-        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = Minv * r
-        rz_new = jnp.vdot(r, z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        return x, r, p, rz_new, k + 1
-
-    x, r, _, _, iters = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
     rel_res = jnp.sqrt(jnp.vdot(r, r) / bnorm2)
     return x, iters, rel_res
 

@@ -146,36 +146,11 @@ def v_cycle(levels, b: jax.Array, level: int = 0,
 # --------------------------------------------------------------------------
 
 def _pcg_mg(levels, b, x0, tol, maxiter, gamma: int = 2):
+    from .pcg import pcg
     C, m, _ = levels[0]
-    A = lambda v: _A(C, m, v)
-    Minv = lambda r: v_cycle(levels, (1.0 - m) * r, gamma=gamma) + m * r
-
-    r = b - A(x0)
-    z = Minv(r)
-    p = z
-    rz = jnp.sum(r * z)
-    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(jnp.sum(b * b),
-                                                        1e-30)
-
-    def cond(s):
-        _, r, _, _, k = s
-        return (k < maxiter) & (jnp.sum(r * r) > tol2)
-
-    def body(s):
-        x, r, p, rz, k = s
-        Ap = A(p)
-        pAp = jnp.sum(p * Ap)
-        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = Minv(r)
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        return x, r, p, rz_new, k + 1
-
-    x, r, _, _, iters = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
-    return x, iters, r
+    return pcg(lambda v: _A(C, m, v), b,
+               lambda r: v_cycle(levels, (1.0 - m) * r, gamma=gamma) + m * r,
+               x0, tol, maxiter, with_diagnostics=True)
 
 
 def _mg_setup(grid, kappa_lu, f, g, max_levels):

@@ -1,0 +1,97 @@
+"""The one preconditioned-CG body every XLA solve path shares.
+
+Replaces five hand-rolled copies of the same loop (ops/cg.py, ops/stencil.py,
+ops/multigrid.py, parallel/halo.py) so the converged-safe-division fix — a
+regression-tested NaN class (tests/test_review_regressions.py) — lives in
+exactly one place.  The Pallas kernels keep their own in-VMEM loops
+(ops/pallas/*) because the loop body *is* the kernel there; this module is
+the HBM/XLA form.
+
+Parameterized over:
+
+* ``A``     — the SPD operator, ``v ↦ A·v`` (matrix-free);
+* ``Minv``  — preconditioner apply, ``r ↦ z`` (Jacobi multiply, MG V-cycle,
+  anything symmetric positive);
+* ``dot``   — inner product.  The default is a global ``vdot`` (couples a
+  scenario batch into one block-diagonal CG, the historical behavior of the
+  structured path); pass :func:`batched_dot` for independent per-scenario
+  α/β, which is what the Pallas whole-CG kernel does.
+
+Why CG at all, and why this shape: under ``jit`` the loop is a single
+``lax.while_loop`` with static shapes — no data-dependent Python control
+flow — and with ``tol=0`` it degenerates to a fixed trip count, the
+TPU-friendly mode for scenario batches where per-scenario early exit would
+serialize the batch.  The reference has no iterative solver at all (dense
+LU via torch.linalg.solve, /root/reference/diffhe/solver.py:174).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def batched_dot(ndim: int = 2):
+    """Per-scenario inner product over the trailing ``ndim`` axes, keepdims —
+    so α/β broadcast back against (..., H, W)-shaped CG state."""
+    axes = tuple(range(-ndim, 0))
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=axes, keepdims=True)
+
+    return dot
+
+
+def _global_dot(u, v):
+    return jnp.vdot(u, v)
+
+
+def _safe_div(num, den):
+    """num/den with 0/0 → 0: past convergence (tol=0 fixed-trip mode) both
+    rz and pAp hit exact zero and a plain division would poison the batch
+    with NaNs (regression-tested)."""
+    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
+
+
+def pcg(A: Callable, b: jax.Array, Minv: Callable, x0: jax.Array,
+        tol: float, maxiter: int,
+        dot: Optional[Callable] = None,
+        with_diagnostics: bool = False):
+    """Preconditioned conjugate gradients for SPD ``A``.
+
+    ``tol`` is relative to ‖b‖ (per dot-scope); ``tol=0`` runs exactly
+    ``maxiter`` iterations.  Returns ``x``, or ``(x, iters, r)`` when
+    ``with_diagnostics`` (feeds the PCG-iteration observability metric,
+    SURVEY.md §5).  Never differentiate through this loop — every caller
+    wraps it in an IFT ``custom_vjp``.
+    """
+    dot = dot or _global_dot
+    r = b - A(x0)
+    z = Minv(r)
+    p = z
+    rz = dot(r, z)
+    bnorm2 = dot(b, b)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(bnorm2, 1e-30)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < maxiter) & jnp.any(dot(r, r) > tol2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = A(p)
+        alpha = _safe_div(rz, dot(p, Ap))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv(r)
+        rz_new = dot(r, z)
+        beta = _safe_div(rz_new, rz)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, iters = jax.lax.while_loop(cond, body, (x0, r, p, rz, 0))
+    if with_diagnostics:
+        return x, iters, r
+    return x

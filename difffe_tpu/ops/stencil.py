@@ -237,33 +237,9 @@ def _operator(C, m, v):
 
 
 def _pcg_grid(C, m, b, Minv, x0, tol, maxiter):
-    r = b - _operator(C, m, x0)
-    z = Minv * r
-    p_ = z
-    rz = jnp.sum(r * z)
-    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(jnp.sum(b * b), 1e-30)
-
-    def cond(s):
-        _, r, _, rz, k = s
-        return (k < maxiter) & (jnp.sum(r * r) > tol2)
-
-    def body(s):
-        x, r, p_, rz, k = s
-        Ap = _operator(C, m, p_)
-        # converged-safe divisions (see ops/cg.py): avoid 0/0 when running
-        # a fixed trip count past convergence
-        pAp = jnp.sum(p_ * Ap)
-        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p_
-        r = r - alpha * Ap
-        z = Minv * r
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p_ = z + beta * p_
-        return x, r, p_, rz_new, k + 1
-
-    x, *_ = jax.lax.while_loop(cond, body, (x0, r, p_, rz, 0))
-    return x
+    from .pcg import pcg
+    return pcg(lambda v: _operator(C, m, v), b, lambda r: Minv * r, x0,
+               tol, maxiter)
 
 
 def _solve_impl(grid, kappa_lu, f, g, tol, maxiter):

@@ -1,6 +1,7 @@
 """Parallelism: device meshes, scenario-batch (dp) and DOF (tp/sp) sharding,
 explicit shard_map+psum training steps, multi-host init."""
 
+from .halo import halo_cg_solve, make_halo_apply, make_halo_solver
 from .sharding import (
     batch_dof_sharding,
     batch_sharding,
@@ -13,6 +14,9 @@ from .sharding import (
 
 __all__ = [
     "batch_dof_sharding",
+    "halo_cg_solve",
+    "make_halo_apply",
+    "make_halo_solver",
     "batch_sharding",
     "make_device_mesh",
     "make_inversion_step",

@@ -51,23 +51,52 @@ def is_primary() -> bool:
 
 @dataclasses.dataclass
 class HealthCheck:
-    """Cross-host liveness probe: an all-reduce with a wall-clock budget.
+    """Cross-device liveness probe: a real all-reduce with a wall-clock
+    budget.
 
-    A hung or dead host makes the collective exceed ``timeout_s`` — the
-    caller can then abort and restart from the latest checkpoint
-    (utils/checkpoint.py), which is the failure-recovery story for long
-    optimizations (SURVEY.md §5 'failure detection / elastic recovery')."""
+    ``ping`` shard_maps a per-device token (each device contributes
+    ``axis_index + 1``) and psums it over every device in the mesh, so the
+    collective genuinely rendezvouses on all participants — a hung or dead
+    device stalls the psum past ``timeout_s`` and the caller can abort and
+    restart from the latest checkpoint (utils/checkpoint.py), which is the
+    failure-recovery story for long optimizations (SURVEY.md §5 'failure
+    detection / elastic recovery').  The expected sum 1+2+…+n also verifies
+    every device's *distinct* contribution arrived (tested on the virtual
+    8-device mesh)."""
 
     timeout_s: float = 60.0
 
-    def ping(self) -> bool:
+    def ping(self, device_mesh=None) -> bool:
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        if device_mesh is None:
+            devices = jax.devices()
+            device_mesh = Mesh(devices, ("hb",))
+        axes = device_mesh.axis_names
+        n = device_mesh.size
+
+        def contribute(tok):
+            # distinct per-device contribution: flattened index + 1
+            idx = jnp.zeros((), jnp.int32)
+            stride = 1
+            for ax in reversed(axes):
+                idx = idx + jax.lax.axis_index(ax) * stride
+                stride *= jax.lax.axis_size(ax)
+            total = tok * (idx + 1).astype(tok.dtype)
+            for ax in axes:
+                total = jax.lax.psum(total, ax)
+            return total[None]
+
+        probe = jax.jit(jax.shard_map(
+            contribute, mesh=device_mesh,
+            in_specs=P(), out_specs=P(axes[0])))
+
         t0 = time.time()
-        token = jnp.ones(())
-        total = jax.jit(lambda x: x * jax.device_count())(token)
+        total = probe(jnp.ones(()))
         jax.block_until_ready(total)
         elapsed = time.time() - t0
-        ok = bool(total == jax.device_count()) and elapsed < self.timeout_s
-        return ok
+        expected = n * (n + 1) // 2
+        return bool((total == expected).all()) and elapsed < self.timeout_s
 
 
 def scaling_efficiency(step_fn: Callable, make_args: Callable[[int], tuple],

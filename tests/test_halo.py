@@ -18,13 +18,23 @@ from difffe_tpu.ops.stencil import (
     stencil_coefficients,
 )
 from difffe_tpu.parallel import make_device_mesh
-from difffe_tpu.parallel.halo import halo_cg_solve, make_halo_apply
+from difffe_tpu.parallel.halo import (
+    halo_cg_solve,
+    make_halo_apply,
+    make_halo_solver,
+)
 
 
 @pytest.fixture(scope="module")
 def dof_mesh():
     # all 8 devices on the dof axis (row decomposition)
     return make_device_mesh(mesh_shape=(1, 8), axis_names=("dp", "dof"))
+
+
+@pytest.fixture(scope="module")
+def dp_dof_mesh():
+    # 2-way scenario batch × 4-way row decomposition
+    return make_device_mesh(mesh_shape=(2, 4), axis_names=("dp", "dof"))
 
 
 def make_problem(n, key=0):
@@ -79,3 +89,93 @@ class TestHaloCG:
             dof_mesh, C_, m_, b_, maxiter=H * W))(C1, m, b)
         np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
                                    atol=1e-9)
+
+
+class TestHaloSolverDifferentiable:
+    """make_halo_solver: value + gradient parity vs the unsharded path
+    (VERDICT round-1 item 1 — BASELINE config 4)."""
+
+    def _problem(self, ny, nx, B=None, key=0):
+        grid = StructuredGrid.unit(nx, ny)
+        H, W = grid.node_shape
+        ks = jax.random.split(jax.random.PRNGKey(key), 4)
+        kshape = (B, ny, nx) if B else (ny, nx)
+        fshape = (B, H, W) if B else (H, W)
+        kl = 1.0 + jax.random.uniform(ks[0], kshape, jnp.float64)
+        ku = 1.0 + jax.random.uniform(ks[1], kshape, jnp.float64)
+        f = jax.random.normal(ks[2], fshape, jnp.float64)
+        g = jnp.zeros((H, W), jnp.float64).at[0, :].set(0.3)
+        return grid, kl, ku, f, g
+
+    def test_forward_matches_unsharded(self, dof_mesh):
+        grid, kl, ku, f, g = self._problem(15, 12)
+        solve = make_halo_solver(dof_mesh, grid)
+        u = jax.jit(solve)((kl, ku), f, g)
+        u_ref = solve_poisson_structured(grid, (kl, ku), f, g)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-9)
+
+    def test_gradients_match_unsharded(self, dof_mesh):
+        grid, kl, ku, f, g = self._problem(15, 12)
+        solve = make_halo_solver(dof_mesh, grid)
+        u_tgt = solve_poisson_structured(grid, (kl * 1.2, ku), f, g)
+
+        def loss_sharded(kl_, ku_, f_, g_):
+            u = solve((kl_, ku_), f_, g_)
+            return jnp.sum((u - u_tgt) ** 2)
+
+        def loss_ref(kl_, ku_, f_, g_):
+            u = solve_poisson_structured(grid, (kl_, ku_), f_, g_)
+            return jnp.sum((u - u_tgt) ** 2)
+
+        got = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2, 3)))(
+            kl, ku, f, g)
+        ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(kl, ku, f, g)
+        for g_got, g_ref, name in zip(got, ref, ["kl", "ku", "f", "g"]):
+            np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                       atol=1e-9, err_msg=name)
+
+    def test_batched_inversion_config4(self, dp_dof_mesh):
+        """End-to-end BASELINE config 4: dof-sharded *batched* κ-field
+        inversion step whose gradients match the unsharded solver."""
+        B = 4
+        grid, kl, ku, f, g = self._problem(15, 12, B=B)
+        solve = make_halo_solver(dp_dof_mesh, grid, batch_axis="dp")
+        u_data = solve_poisson_structured(
+            grid, (kl * 1.3, ku * 0.8), f, jnp.zeros_like(g))
+
+        def loss_sharded(log_kl, log_ku):
+            u = solve((jnp.exp(log_kl), jnp.exp(log_ku)), f,
+                      jnp.zeros_like(g))
+            return jnp.mean((u - u_data) ** 2)
+
+        def loss_ref(log_kl, log_ku):
+            u = solve_poisson_structured(
+                grid, (jnp.exp(log_kl), jnp.exp(log_ku)), f,
+                jnp.zeros_like(g))
+            return jnp.mean((u - u_data) ** 2)
+
+        log_kl = jnp.log(kl)
+        log_ku = jnp.log(ku)
+        (val, grads) = jax.jit(jax.value_and_grad(
+            loss_sharded, argnums=(0, 1)))(log_kl, log_ku)
+        val_ref, grads_ref = jax.value_and_grad(
+            loss_ref, argnums=(0, 1))(log_kl, log_ku)
+        np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-10)
+        for g_got, g_ref in zip(grads, grads_ref):
+            assert g_got.shape == (B, grid.ny, grid.nx)
+            np.testing.assert_allclose(np.asarray(g_got),
+                                       np.asarray(g_ref), atol=1e-9)
+
+    def test_batched_forward_broadcast_f(self, dof_mesh):
+        """Batched κ with shared (unbatched) forcing broadcasts cleanly."""
+        B = 2
+        grid, kl, ku, _, g = self._problem(15, 12, B=B)
+        _, _, _, f, _ = self._problem(15, 12)
+        solve = make_halo_solver(dof_mesh, grid)
+        u = jax.jit(solve)((kl, ku), f, g)
+        assert u.shape == (B,) + grid.node_shape
+        for i in range(B):
+            u_ref = solve_poisson_structured(grid, (kl[i], ku[i]), f, g)
+            np.testing.assert_allclose(np.asarray(u[i]), np.asarray(u_ref),
+                                       atol=1e-9)
