@@ -78,12 +78,13 @@ def local_blocks(grid: StructuredGrid, kappa_lower, kappa_upper):
     return kl[..., None, None] * Ml, ku[..., None, None] * Mu
 
 
-def stencil_coefficients(grid: StructuredGrid, kappa_lower, kappa_upper):
-    """Assemble the 7 coefficient planes C (..., 7, ny+1, nx+1).
+def _stencil_coefficients_reference(grid: StructuredGrid,
+                                    kappa_lower, kappa_upper):
+    """Generic plane assembly from the full local blocks — 18 slice-adds.
 
-    Built entirely with shifted slice-adds: each of the 18 (triangle-vertex
-    pair) contribution patterns lands on a static sub-rectangle of the node
-    grid — no scatter, deterministic, vmap/shard-friendly.
+    Kept as the oracle for :func:`stencil_coefficients` (tested equal); the
+    production closed form below is ~6× fewer XLA ops, which matters because
+    coefficient assembly sits on the hot gradient path (re-run per solve).
     """
     Kl, Ku = local_blocks(grid, kappa_lower, kappa_upper)
     lead = Kl.shape[:-4]
@@ -110,6 +111,43 @@ def stencil_coefficients(grid: StructuredGrid, kappa_lower, kappa_upper):
     C = add(C, Kl, LOWER)
     C = add(C, Ku, UPPER)
     return C
+
+
+def _embed(q: jax.Array, pr: int, pc: int) -> jax.Array:
+    """Place a (..., ny, nx) per-quad field on the (..., ny+1, nx+1) node
+    grid at vertex offset (pr, pc) ∈ {0,1}², zero elsewhere."""
+    pad = [(0, 0)] * (q.ndim - 2) + [(pr, 1 - pr), (pc, 1 - pc)]
+    return jnp.pad(q, pad)
+
+
+def stencil_coefficients(grid: StructuredGrid, kappa_lower, kappa_upper):
+    """Assemble the 7 coefficient planes C (..., 7, ny+1, nx+1).
+
+    Closed form: because the local blocks are κ·(constant matrix)
+    (:func:`local_blocks`), each plane is a fixed linear combination of the
+    two per-triangle κ fields padded to the node grid — ~10 pad/add/scale
+    ops instead of 18 slice-adds into a scatter target.  Planes 5/6 (the
+    (±1, ∓1) cross-diagonal neighbors along the triangulation diagonal) are
+    **identically zero** for isotropic κ on this lower-left split — the
+    classic 5-point equivalence — kept as explicit zero planes so every
+    consumer shares one layout.  Equality with the generic 18-term assembly
+    is regression-tested (tests/test_stencil.py).
+    """
+    kl = jnp.asarray(kappa_lower)
+    ku = jnp.asarray(kappa_upper)
+    kl, ku = jnp.broadcast_arrays(kl, ku)
+    hx2, hy2 = grid.hx ** 2, grid.hy ** 2
+    s = 1.0 / (2.0 * grid.hx * grid.hy)
+    l00, l01, l10 = _embed(kl, 0, 0), _embed(kl, 0, 1), _embed(kl, 1, 0)
+    u01, u10, u11 = _embed(ku, 0, 1), _embed(ku, 1, 0), _embed(ku, 1, 1)
+    C0 = s * ((hx2 + hy2) * (l00 + u11) + hy2 * (l01 + u10)
+              + hx2 * (l10 + u01))
+    C1 = (-s * hy2) * (l00 + u10)      # ( 0, +1)
+    C2 = (-s * hy2) * (l01 + u11)      # ( 0, −1)
+    C3 = (-s * hx2) * (l00 + u01)      # (+1,  0)
+    C4 = (-s * hx2) * (l10 + u11)      # (−1,  0)
+    Z = jnp.zeros_like(C0)             # (+1, −1), (−1, +1)
+    return jnp.stack([C0, C1, C2, C3, C4, Z, Z], axis=-3)
 
 
 def _shift2d(u, dr, dc):

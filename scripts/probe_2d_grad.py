@@ -1,0 +1,39 @@
+"""TPU probe: 2D fwd and fwd+adjoint grad-solves/s at 64x64 (Pallas whole-CG),
+sweeping block_b and batch. North-star bar: >=10^4 fwd+adjoint (VERDICT item 2)."""
+import math, sys, time
+import jax, jax.numpy as jnp
+
+def timed(fn, *args, iters=10):
+    out = fn(*args); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+def main():
+    from difffe_tpu.ops.stencil import StructuredGrid
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import solve_structured_pallas
+    n = 64
+    grid = StructuredGrid.unit(n, n)
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, xs)
+    f2 = (2 * math.pi ** 2 * jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)).astype(jnp.float32)
+    g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+    for B in (64, 256):
+        f2B = jnp.broadcast_to(f2, (B, n + 1, n + 1))
+        klB = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (B, n, n), jnp.float32)
+        for bb in (8, 16):
+            fwd = jax.jit(lambda kl: solve_structured_pallas(grid, (kl, kl), f2B, g0, 128, bb))
+            dtf = timed(fwd, klB)
+            u_data = fwd(klB)
+            step = jax.jit(jax.value_and_grad(
+                lambda kl: jnp.mean((solve_structured_pallas(grid, (kl, kl), f2B, g0, 128, bb) - u_data) ** 2)))
+            dtg = timed(step, klB)
+            # sanity: grads finite
+            _, gk = step(klB)
+            ok = bool(jnp.isfinite(gk).all())
+            print(f"B={B} block_b={bb}: fwd {B/dtf:,.0f}/s  fwd+adjoint {B/dtg:,.0f}/s  finite={ok}", flush=True)
+
+if __name__ == "__main__":
+    main()

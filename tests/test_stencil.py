@@ -253,3 +253,37 @@ class TestManualResidualVJP:
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(gg_m), np.asarray(gg_a),
                                    atol=1e-10)
+
+
+class TestClosedFormCoefficients:
+    """The closed-form plane assembly equals the generic 18-term oracle
+    (the closed form is the production path — it halves the XLA-side
+    prepare cost on the gradient path)."""
+
+    @pytest.mark.parametrize("lead", [(), (3,)])
+    def test_matches_reference_assembly(self, lead):
+        from difffe_tpu.ops.stencil import _stencil_coefficients_reference
+        grid = StructuredGrid.unit(5, 7, (0.0, 2.0), (0.0, 1.0))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+        kl = 0.5 + jax.random.uniform(k1, lead + (7, 5), jnp.float64)
+        ku = 0.5 + jax.random.uniform(k2, lead + (7, 5), jnp.float64)
+        C = stencil_coefficients(grid, kl, ku)
+        C_ref = _stencil_coefficients_reference(grid, kl, ku)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C_ref),
+                                   atol=1e-14)
+        # the cross-diagonal planes are identically zero (5-point structure)
+        assert np.abs(np.asarray(C[..., 5, :, :])).max() == 0.0
+        assert np.abs(np.asarray(C[..., 6, :, :])).max() == 0.0
+
+    def test_mixed_lead_broadcast(self):
+        from difffe_tpu.ops.stencil import _stencil_coefficients_reference
+        grid = StructuredGrid.unit(4, 4)
+        kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (2, 4, 4),
+                                      jnp.float64)
+        ku = jnp.ones((4, 4), jnp.float64)
+        C = stencil_coefficients(grid, kl, ku)
+        C_ref = _stencil_coefficients_reference(
+            grid, kl, jnp.broadcast_to(ku, kl.shape))
+        assert C.shape == (2, 7, 5, 5)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C_ref),
+                                   atol=1e-14)
