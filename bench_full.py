@@ -75,7 +75,27 @@ def main():
 
     step2 = jax.jit(jax.value_and_grad(loss2))
     dt2 = timed(step2, klB, iters=10)
-    results[f"2d_grad_solves_per_s_{n}x{n}_B{B}"] = round(B / dt2, 1)
+    results[f"2d_grad_solves_per_s_{n}x{n}_B{B}_xla"] = round(B / dt2, 1)
+
+    # Production 2D path: Pallas whole-CG (5-point, VMEM-resident),
+    # 8 scenarios per grid program, B=256 — the north-star config-4 metric.
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import solve_structured_pallas
+    Bp = 256
+    f2P = jnp.broadcast_to(f2, (Bp, n + 1, n + 1))
+    klP = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (Bp, n, n),
+                                   jnp.float32)
+    fwd_p = jax.jit(lambda kl: solve_structured_pallas(
+        grid, (kl, kl), f2P, g0, 128, 8))
+    uP_data = fwd_p(klP)
+
+    def loss2p(kl):
+        return jnp.mean((fwd_p(kl) - uP_data) ** 2)
+
+    step2p = jax.jit(jax.value_and_grad(loss2p))
+    dtf = timed(fwd_p, klP, iters=10)
+    dtg = timed(step2p, klP, iters=10)
+    results[f"2d_solves_per_s_{n}x{n}"] = round(Bp / dtf, 1)
+    results[f"2d_grad_solves_per_s_{n}x{n}"] = round(Bp / dtg, 1)
 
     # ---- accuracy gates (f64 golden path on CPU semantics) ---------------
     with jax.enable_x64():

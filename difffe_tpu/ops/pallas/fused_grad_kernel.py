@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: the ENTIRE 1D κ-recovery gradient step, fused.
+
+The headline workload (BASELINE configs 1/2; reference counterpart: torch
+autograd through /root/reference/diffhe/solver.py + physics loss) is, per
+scenario,
+
+    κ = exp(log κ);  assemble T(κ), F̃(κ);  solve T u = F̃;
+    ℓ = Σ (u − u_data)²;  ḡ = scale·(u − u_data);  solve T λ = ḡ;
+    ∂log κ = κ · λᵀ(∂F̃/∂κ − ∂T/∂κ · u)
+
+Unfused, XLA materializes every PCR sweep state to HBM twice (forward +
+adjoint): tens of kB of traffic per scenario for ~260 B of essential data —
+measured at ~0.2 TFLOP/s (≈0.1% of f32 peak) in round 1.  This kernel keeps
+the whole step VMEM-resident in the transposed layout (DOFs on sublanes,
+scenarios on lanes — no 128-lane padding waste at n≈30): one HBM read of
+(log κ, F, u_data), one write of per-scenario (ℓ-partials, ∂log κ).
+
+The adjoint solve reuses the forward PCR's reduction: the per-sweep
+(αₛ, γₛ) factors depend only on the matrix, so the second solve is two
+shifted FMAs per sweep instead of a full re-reduction — the same
+factor-reuse rule as the dense path (ops/solve.py), in PCR form.
+
+Padding contract (rows n → N multiple of 8): mask column m = 1 and all κ
+pattern columns = 0 on padded rows → b = 1, a = c = r = 0: padded rows
+solve to u = 0, are decoupled, and contribute zero to ℓ and the gradient.
+Padded lanes (scenarios) are sliced off by the caller.
+
+Gradient parity vs the unfused XLA path is regression-tested
+(tests/test_fused_grad.py); CPU runs use interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tridiag_kernel import (
+    _is_cpu,
+    _round_up,
+    _shift_kernel_down_rows,
+    _shift_kernel_up_rows,
+)
+
+# Column indices in the packed (N, 128) constants block.
+_COL_M = 0      # BC mask (1 on Dirichlet rows AND padded rows)
+_COL_P = 1      # 1 - bc_mask on true rows, 0 on padded rows
+_COL_D0 = 2     # p ⊙ unit-κ diagonal (BC-eliminated κ-pattern of b)
+_COL_A0 = 3     # sub-diagonal unit-κ pattern (row i couples to i-1)
+_COL_C0 = 4     # super-diagonal unit-κ pattern (row i couples to i+1)
+_COL_MG = 5     # m ⊙ g (Dirichlet data term of the RHS)
+_COL_T0 = 6     # p ⊙ T_unit(m⊙g) (κ-linear RHS elimination term)
+_N_COLS = 7
+
+
+def _fused_step_kernel(lk_ref, f_ref, ud_ref, cols_ref,
+                       loss_ref, grad_ref, *, steps: int, scale: float):
+    cols = cols_ref[:]
+    m = cols[:, _COL_M:_COL_M + 1]
+    p = cols[:, _COL_P:_COL_P + 1]
+    d0 = cols[:, _COL_D0:_COL_D0 + 1]
+    a0 = cols[:, _COL_A0:_COL_A0 + 1]
+    c0 = cols[:, _COL_C0:_COL_C0 + 1]
+    mg = cols[:, _COL_MG:_COL_MG + 1]
+    t0 = cols[:, _COL_T0:_COL_T0 + 1]
+
+    kappa = jnp.exp(lk_ref[:])                    # (1, L)
+    b = m + kappa * d0                            # (N, L) via broadcast
+    a = kappa * a0
+    c = kappa * c0
+    r = mg + p * f_ref[:] - kappa * t0
+
+    one = jnp.ones((), b.dtype)
+    zero = jnp.zeros((), b.dtype)
+    alphas, gammas = [], []
+    s = 1
+    for _ in range(steps):
+        b_up = _shift_kernel_up_rows(b, s, one)
+        b_dn = _shift_kernel_down_rows(b, s, one)
+        alpha = -a / b_up
+        gamma = -c / b_dn
+        a_up = _shift_kernel_up_rows(a, s, zero)
+        c_dn = _shift_kernel_down_rows(c, s, zero)
+        c_up = _shift_kernel_up_rows(c, s, zero)
+        a_dn = _shift_kernel_down_rows(a, s, zero)
+        r_up = _shift_kernel_up_rows(r, s, zero)
+        r_dn = _shift_kernel_down_rows(r, s, zero)
+        b = b + alpha * c_up + gamma * a_dn
+        r = r + alpha * r_up + gamma * r_dn
+        a = alpha * a_up
+        c = gamma * c_dn
+        alphas.append(alpha)
+        gammas.append(gamma)
+        s *= 2
+    u = r / b
+
+    diff = u - ud_ref[:]
+    loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
+
+    # adjoint solve T λ = scale·diff, reusing the forward reduction factors
+    r2 = scale * diff
+    s = 1
+    for alpha, gamma in zip(alphas, gammas):
+        r2 = (r2 + alpha * _shift_kernel_up_rows(r2, s, zero)
+              + gamma * _shift_kernel_down_rows(r2, s, zero))
+        s *= 2
+    lam = r2 / b
+
+    # ∂κ = Σ_i λ_i (∂r_i/∂κ − ∂(Tu)_i/∂κ); chain through κ = exp(log κ)
+    u_im1 = _shift_kernel_up_rows(u, 1, zero)     # u_{i-1}
+    u_ip1 = _shift_kernel_down_rows(u, 1, zero)   # u_{i+1}
+    gk = -jnp.sum(lam * (t0 + a0 * u_im1 + d0 * u + c0 * u_ip1),
+                  axis=0, keepdims=True)
+    grad_ref[:] = kappa * gk
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "scale", "block_lanes"))
+def _fused_pallas(lk, F, ud, cols, steps: int, scale: float,
+                  block_lanes: int):
+    """lk: (1, B); F, ud: (N, B); cols: (N, 128).  B % block_lanes == 0."""
+    N, B = F.shape
+    kernel = functools.partial(_fused_step_kernel, steps=steps, scale=scale)
+    row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((N, block_lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    shared = pl.BlockSpec((N, 128), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, B), F.dtype),
+                   jax.ShapeDtypeStruct((1, B), F.dtype)),
+        grid=(B // block_lanes,),
+        in_specs=[row, plane, plane, shared],
+        out_specs=(row, row),
+        interpret=_is_cpu(),
+        cost_estimate=pl.CostEstimate(
+            # fwd reduction ~12, adjoint replay ~4, assembly+grads ~12
+            flops=B * N * (16 * steps + 12),
+            bytes_accessed=(B * (2 * N + 3)) * F.dtype.itemsize,
+            transcendentals=B,
+        ),
+    )(lk, F, ud, cols)
+
+
+def fused_kappa_mse_step(mesh, log_k: jax.Array, F: jax.Array,
+                         u_data: jax.Array, scale: float | None = None,
+                         block_lanes: int = 512):
+    """Fused loss-partials + ∂log κ for per-scenario-scalar-κ recovery.
+
+    Computes, for every scenario b, with T(κ_b) the BC-eliminated 1D P1
+    stiffness system (κ_b = exp(log_k[b]) scaling the whole mesh) and
+    u_b = T(κ_b)⁻¹ F̃_b:
+
+        loss_parts[b] = Σ_i (u_b − u_data_b)_i²
+        grad[b]       = ∂/∂log_k[b] of  scale/2 · Σ_b loss_parts[b]
+
+    so for the mean-MSE loss ``scale = 2 / (B · n_nodes)`` (the default) and
+    ``loss = loss_parts.sum() / (B · n_nodes)``.
+
+    Parameters: ``log_k`` (B,); ``F`` assembled load (B, n) or shared (n,)
+    (pre-BC-elimination — elimination happens in-kernel); ``u_data`` (B, n).
+    Returns ``(loss_parts (B,), grad_log_k (B,))``.  Not differentiable —
+    it IS the gradient step (use the unfused path for higher-order needs).
+    """
+    from ..assembly import assemble_tridiag_1d
+    from ..tridiag import tridiag_matvec
+
+    B = log_k.shape[0]
+    n = mesh.n_nodes
+    dtype = mesh.dtype
+    if scale is None:
+        scale = 2.0 / (B * n)
+
+    d_unit, e_unit = assemble_tridiag_1d(mesh, jnp.ones((), dtype))
+    m = mesh.bc_mask
+    p = 1.0 - m
+    g = mesh.bc_values
+    mg = m * g
+    e_elim = p[:-1] * p[1:] * e_unit
+    zero1 = jnp.zeros((1,), dtype)
+    a0 = jnp.concatenate([zero1, e_elim])     # row i ← i-1
+    c0 = jnp.concatenate([e_elim, zero1])     # row i ← i+1
+    d0 = p * d_unit
+    t0 = p * tridiag_matvec(d_unit, e_unit, mg)
+
+    N = _round_up(max(n, 8), 8)
+    Bp = _round_up(max(B, block_lanes), block_lanes)
+
+    cols = jnp.zeros((N, 128), dtype)
+    cols = cols.at[:, _COL_M].set(1.0).at[:n, _COL_M].set(m)
+    cols = cols.at[:n, _COL_P].set(p)
+    cols = cols.at[:n, _COL_D0].set(d0)
+    cols = cols.at[:n, _COL_A0].set(a0)
+    cols = cols.at[:n, _COL_C0].set(c0)
+    cols = cols.at[:n, _COL_MG].set(mg)
+    cols = cols.at[:n, _COL_T0].set(t0)
+
+    lk = jnp.zeros((1, Bp), dtype).at[0, :B].set(log_k)
+    FT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(
+        jnp.broadcast_to(F, (B, n)).T)
+    udT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(u_data.T)
+
+    steps = max(1, math.ceil(math.log2(n)))
+    lp, gk = _fused_pallas(lk, FT, udT, cols, steps, float(scale),
+                           block_lanes)
+    return lp[0, :B], gk[0, :B]

@@ -1,0 +1,50 @@
+"""TPU probe: 1D tridiag grad-solves/s — XLA PCR vs Pallas batch-layout vs
+Pallas transposed-layout (DOFs on sublanes).  VERDICT round-1 item 5:
+Pallas must beat XLA at n=30 on-chip or be demoted."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.solver import solve_poisson_batched
+
+    ns = [int(a) for a in sys.argv[1:]] or [30, 128]
+    for n in ns:
+        B = 65536 if n <= 128 else 8192
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+        x = mesh.nodes[:, 0]
+        k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,)) * 2.0
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                       kappa_batched=True)
+
+        for method in ("tridiag", "tridiag_pallas"):
+            def loss(log_k):
+                u = solve_poisson_batched(mesh, jnp.exp(log_k), f,
+                                          method=method, kappa_batched=True)
+                return jnp.mean((u - u_data) ** 2)
+
+            step = jax.jit(jax.value_and_grad(loss))
+            dt = timed(step, jnp.zeros((B,), jnp.float32))
+            _, g = step(jnp.zeros((B,), jnp.float32))
+            ok = bool(jnp.isfinite(g).all())
+            print(f"n={n} B={B} {method:15s}: {B/dt:12,.0f} grad-solves/s"
+                  f"  finite={ok}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
