@@ -11,6 +11,11 @@ from .assembly import (
     stiffness_apply,
 )
 from .cg import solve_poisson_cg, stiffness_diag
+from .precision import (
+    refine,
+    solve_poisson_structured_bf16,
+    tridiag_solve_refined,
+)
 from .solve import (
     apply_dirichlet_dense,
     apply_dirichlet_operator,
@@ -32,6 +37,9 @@ __all__ = [
     "stiffness_apply",
     "solve_poisson_cg",
     "stiffness_diag",
+    "refine",
+    "solve_poisson_structured_bf16",
+    "tridiag_solve_refined",
     "apply_dirichlet_dense",
     "apply_dirichlet_operator",
     "cholesky_solve",

@@ -1,0 +1,84 @@
+"""TPU probe: bf16-inner/f32-refined 2D solve vs the f32 CG path.
+
+Measures forward and fwd+adjoint throughput of
+ops/precision.py:solve_poisson_structured_bf16 against
+ops/stencil.py:solve_poisson_structured at matched *accuracy targets*
+(the bf16 path targets ~1e-3..1e-4 relative — the table in
+docs/PERFORMANCE.md reports both the rate and the achieved error).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from difffe_tpu.ops.precision import solve_poisson_structured_bf16
+    from difffe_tpu.ops.stencil import StructuredGrid, solve_poisson_structured
+
+    nx, B = 64, 64
+    grid = StructuredGrid.unit(nx, nx)
+    kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B, nx, nx),
+                                  jnp.float32)
+    ku = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (B, nx, nx),
+                                  jnp.float32)
+    f = jnp.ones((B, nx + 1, nx + 1), jnp.float32)
+    g = jnp.zeros((B, nx + 1, nx + 1), jnp.float32)
+
+    solve32 = jax.jit(jax.vmap(
+        lambda kl_, ku_, f_, g_: solve_poisson_structured(
+            grid, (kl_, ku_), f_, g_, 0.0, 128)))
+    u_ref = solve32(kl, ku, f, g)
+    dt32 = timed(solve32, kl, ku, f, g)
+    print(f"f32 CG-128 fwd      : {B/dt32:10,.0f} solves/s", flush=True)
+
+    for inner, rit in [(32, 2), (48, 2), (48, 3)]:
+        lo = jax.jit(jax.vmap(
+            lambda kl_, ku_, f_, g_: solve_poisson_structured_bf16(
+                grid, (kl_, ku_), f_, g_, inner, rit)))
+        u = lo(kl, ku, f, g)
+        rel = float(jnp.max(jnp.abs(u - u_ref)) / jnp.max(jnp.abs(u_ref)))
+        dt = timed(lo, kl, ku, f, g)
+        print(f"bf16 {inner}x{1+rit} fwd       : {B/dt:10,.0f} solves/s  "
+              f"rel-vs-f32 {rel:.1e}", flush=True)
+
+    u_tgt = u_ref * 0.9
+
+    def loss32(kl_):
+        u = solve32(kl_, ku, f, g)
+        return jnp.mean((u - u_tgt) ** 2)
+
+    g32 = jax.jit(jax.value_and_grad(loss32))
+    _, gr = g32(kl)
+    dt = timed(g32, kl)
+    print(f"f32 CG-128 fwd+adj  : {B/dt:10,.0f} grad-solves/s", flush=True)
+
+    for inner, rit in [(32, 2), (48, 2)]:
+        lo = jax.jit(jax.vmap(
+            lambda kl_, ku_, f_, g_: solve_poisson_structured_bf16(
+                grid, (kl_, ku_), f_, g_, inner, rit)))
+
+        def loss_lo(kl_):
+            u = lo(kl_, ku, f, g)
+            return jnp.mean((u - u_tgt) ** 2)
+
+        glo = jax.jit(jax.value_and_grad(loss_lo))
+        _, gl = glo(kl)
+        relg = float(jnp.max(jnp.abs(gl - gr)) / (jnp.max(jnp.abs(gr)) + 1e-30))
+        dt = timed(glo, kl)
+        print(f"bf16 {inner}x{1+rit} fwd+adj   : {B/dt:10,.0f} grad-solves/s"
+              f"  grad rel-vs-f32 {relg:.1e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Mixed-precision policy: bf16 inner solves + f32 iterative refinement.
+
+Gates the measured validity boundary documented in ops/precision.py —
+convergent at small n / practical 2D grids, honest about where bf16 IR
+stalls (cond·ε_bf16 ≥ 1).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import assemble_load, assemble_tridiag_1d
+from difffe_tpu.ops.precision import (
+    refine,
+    solve_poisson_structured_bf16,
+    tridiag_solve_refined,
+)
+from difffe_tpu.ops.stencil import StructuredGrid, solve_poisson_structured
+from difffe_tpu.ops.tridiag import tridiag_matvec, tridiag_solve
+
+
+def _band_1d(n, kappa=1.37, dtype=jnp.float32):
+    # 1.37: NOT bf16-representable after assembly -- representable bands
+    # (e.g. 1.7/h with h=1/30) flatter the bf16 contraction ~10x.
+    mesh = FEMesh.line(n_elements=n, dtype=dtype)
+    x = mesh.nodes[:, 0]
+    d, e = assemble_tridiag_1d(mesh, jnp.asarray(kappa, dtype))
+    F = assemble_load(mesh, jnp.sin(jnp.pi * x) + 1.0)
+    m, g = mesh.bc_mask, mesh.bc_values
+    p = 1.0 - m
+    d_mod = p * d + m
+    e_mod = p[:-1] * p[1:] * e
+    mg = m * g
+    F_mod = mg + p * (F - tridiag_matvec(d, e, mg))
+    return d_mod, e_mod, F_mod
+
+
+class TestRefine:
+    def test_generic_refine_identity_preconditioned(self):
+        """A crude low-precision 'solver' (diagonal inverse) still converges
+        under refinement on a diagonally dominant system."""
+        key = jax.random.PRNGKey(0)
+        n = 64
+        A = jnp.eye(n) * 4.0 + jax.random.normal(key, (n, n)) * 0.1
+        A = (A + A.T) / 2
+        b = jax.random.normal(jax.random.PRNGKey(1), (n,))
+        solve_lo = lambda r: r.astype(jnp.bfloat16) / 4.0
+        x = refine(solve_lo, lambda v: A @ v, b, iters=40)
+        assert jnp.max(jnp.abs(A @ x - b)) < 1e-4
+
+
+class TestTridiagBf16:
+    def test_matches_f64_golden_n30(self):
+        d, e, F = _band_1d(30)
+        u64 = tridiag_solve(d.astype(jnp.float64), e.astype(jnp.float64),
+                            F.astype(jnp.float64))
+        u = tridiag_solve_refined(d, e, F, 3)
+        rel = jnp.max(jnp.abs(u.astype(jnp.float64) - u64)) / jnp.max(
+            jnp.abs(u64))
+        assert rel < 5e-6, rel
+
+    def test_refinement_contracts(self):
+        """Each pass shrinks the error by ≥4× at n=30 (measured ~0.03–0.14)."""
+        d, e, F = _band_1d(30)
+        u64 = tridiag_solve(d.astype(jnp.float64), e.astype(jnp.float64),
+                            F.astype(jnp.float64))
+        errs = []
+        for it in (0, 1, 2):
+            u = tridiag_solve_refined(d, e, F, it)
+            errs.append(float(jnp.max(jnp.abs(u.astype(jnp.float64) - u64))))
+        assert errs[1] < errs[0] / 4
+        assert errs[2] < errs[1] / 4
+
+    def test_n128_converges_with_4_passes(self):
+        """Jacobi scaling extends the validity boundary to n≈128."""
+        d, e, F = _band_1d(128)
+        u64 = tridiag_solve(d.astype(jnp.float64), e.astype(jnp.float64),
+                            F.astype(jnp.float64))
+        u = tridiag_solve_refined(d, e, F, 4)
+        rel = jnp.max(jnp.abs(u.astype(jnp.float64) - u64)) / jnp.max(
+            jnp.abs(u64))
+        assert rel < 2e-4, rel
+
+    def test_validity_boundary_n1024_diverges(self):
+        """The documented Carson–Higham boundary: cond(T)·ε_bf16 ≫ 1 at
+        n=1024, so IR must NOT converge (if this starts passing, the
+        boundary moved — re-measure, then update the docs)."""
+        d, e, F = _band_1d(1024)
+        u64 = tridiag_solve(d.astype(jnp.float64), e.astype(jnp.float64),
+                            F.astype(jnp.float64))
+        u = tridiag_solve_refined(d, e, F, 3)
+        rel = jnp.max(jnp.abs(u.astype(jnp.float64) - u64)) / jnp.max(
+            jnp.abs(u64))
+        assert rel > 1e-2
+
+    def test_gradient_parity_vs_f32(self):
+        d, e, F = _band_1d(30)
+
+        def loss_lo(d_, e_, F_):
+            return jnp.sum(tridiag_solve_refined(d_, e_, F_, 3) ** 2)
+
+        def loss_hi(d_, e_, F_):
+            return jnp.sum(tridiag_solve(d_, e_, F_) ** 2)
+
+        g_lo = jax.grad(loss_lo, argnums=(0, 1, 2))(d, e, F)
+        g_hi = jax.grad(loss_hi, argnums=(0, 1, 2))(d, e, F)
+        for a, b in zip(g_lo, g_hi):
+            denom = jnp.max(jnp.abs(b)) + 1e-30
+            assert jnp.max(jnp.abs(a - b)) / denom < 1e-3
+
+    def test_batched(self):
+        d, e, F = _band_1d(30)
+        B = 7
+        scales = 1.0 + jnp.arange(B, dtype=jnp.float32)[:, None] * 0.3
+        db = scales * d
+        eb = scales * jnp.broadcast_to(e, (B, e.shape[0]))
+        Fb = jnp.broadcast_to(F, (B, F.shape[0]))
+        u = tridiag_solve_refined(db, eb, Fb, 3)
+        u_ref = tridiag_solve(db, eb, Fb)
+        assert jnp.max(jnp.abs(u - u_ref)) / jnp.max(jnp.abs(u_ref)) < 1e-4
+
+
+class TestStencilBf16:
+    @pytest.fixture(scope="class")
+    def problem(self):
+        nx = 32
+        grid = StructuredGrid.unit(nx, nx)
+        kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (nx, nx),
+                                      jnp.float32)
+        ku = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (nx, nx),
+                                      jnp.float32)
+        f = jnp.ones((nx + 1, nx + 1), jnp.float32)
+        g = jnp.zeros((nx + 1, nx + 1), jnp.float32)
+        return grid, kl, ku, f, g
+
+    def test_matches_f32_reference(self, problem):
+        grid, kl, ku, f, g = problem
+        u_ref = solve_poisson_structured(grid, (kl, ku), f, g, 0.0, 128)
+        u = solve_poisson_structured_bf16(grid, (kl, ku), f, g, 48, 3)
+        rel = jnp.max(jnp.abs(u - u_ref)) / jnp.max(jnp.abs(u_ref))
+        assert rel < 5e-4, rel
+
+    def test_gradient_parity(self, problem):
+        grid, kl, ku, f, g = problem
+        u_tgt = solve_poisson_structured(grid, (kl, ku), f, g, 0.0, 128)
+
+        def loss(path):
+            def fn(kl_):
+                u = path(grid, (kl_, ku), f, g)
+                return jnp.mean((u - 0.9 * u_tgt) ** 2)
+            return fn
+
+        lo = loss(lambda grid, k, f_, g_: solve_poisson_structured_bf16(
+            grid, k, f_, g_, 48, 3))
+        hi = loss(lambda grid, k, f_, g_: solve_poisson_structured(
+            grid, k, f_, g_, 0.0, 128))
+        g_lo = jax.grad(lo)(kl)
+        g_hi = jax.grad(hi)(kl)
+        rel = jnp.max(jnp.abs(g_lo - g_hi)) / (jnp.max(jnp.abs(g_hi)) + 1e-30)
+        assert rel < 5e-3, rel
+
+    def test_nonzero_dirichlet(self, problem):
+        grid, kl, ku, f, _ = problem
+        nx = grid.nx
+        yy, xx = jnp.meshgrid(jnp.linspace(0, 1, nx + 1),
+                              jnp.linspace(0, 1, nx + 1), indexing="ij")
+        g = (xx + yy).astype(jnp.float32)
+        u_ref = solve_poisson_structured(grid, (kl, ku), f, g, 0.0, 128)
+        u = solve_poisson_structured_bf16(grid, (kl, ku), f, g, 48, 3)
+        rel = jnp.max(jnp.abs(u - u_ref)) / jnp.max(jnp.abs(u_ref))
+        assert rel < 5e-4, rel
