@@ -5,12 +5,26 @@ FEM solve plus an adjoint solve with gradients to per-scenario κ — on a
 30-element mesh, matching the reference's measured 95 grad-solves/s
 (fwd+backward ∂/∂κ, 30 elements, CPU float64 — BASELINE.md 'measured').
 
+Production path: the fused whole-grad-step Pallas kernel
+(ops/pallas/fused_grad_kernel.py) — band assembly, BC elimination, forward
+PCR, loss partials, factor-reuse adjoint, and the κ contraction in one
+VMEM-resident launch.  Gradient parity vs the unfused XLA path is asserted
+in-run (1e-4); standing parity tests live in tests/test_fused_grad.py.
+
+Timing protocol (HONEST — see utils/profiling.timeit_chained and
+scripts/probe_timing_honesty.py): K data-CHAINED SGD steps inside one
+jitted lax.scan — step k+1 consumes step k's iterate, so neither the
+remote-tunnel dispatch stream, request dedup, nor async under-reporting
+can shortcut the work — with a host fetch of the final loss forcing full
+materialization.  Repeated-identical-call timing measured physically
+impossible rates through the tunnel (f32 matmul above f32 peak) and is
+banned from this file.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 95 (the reference's rate on the same mesh size).
 """
 
 import json
-import sys
 import time
 
 import jax
@@ -18,14 +32,16 @@ import jax.numpy as jnp
 
 BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
 N_ELEMENTS = 30
-# Batch sweep on-chip (2026-08-18): 32k→22.5M, 64k→34.8M, 128k→31.8M,
-# 256k→26.9M solves/s — 64k amortizes dispatch without thrashing HBM.
-BATCH = 65536
-TIMED_ITERS = 30
+BATCH = 262144
+BLOCK_LANES = 1024
+SCAN_STEPS = 30
+REPEATS = 3
 
 
 def main():
     from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.pallas.fused_grad_kernel import fused_kappa_mse_step
     from difffe_tpu.solver import solve_poisson_batched
 
     dtype = jnp.float32
@@ -37,29 +53,48 @@ def main():
     f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (BATCH, mesh.n_nodes))
     u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
                                    kappa_batched=True)
+    F = assemble_load(mesh, f)
 
-    def loss_fn(log_k):
-        u = solve_poisson_batched(mesh, jnp.exp(log_k), f, method="tridiag",
+    # parity gate: fused kernel grad == unfused XLA grad
+    lk0 = jnp.zeros((BATCH,), dtype)
+    _, g_fused = jax.jit(lambda lk: fused_kappa_mse_step(
+        mesh, lk, F, u_data, block_lanes=BLOCK_LANES))(lk0)
+
+    def loss_xla(lk):
+        u = solve_poisson_batched(mesh, jnp.exp(lk), f, method="tridiag",
                                   kappa_batched=True)
         return jnp.mean((u - u_data) ** 2)
 
-    grad_step = jax.jit(jax.value_and_grad(loss_fn))
+    g_ref = jax.jit(jax.grad(loss_xla))(lk0)
+    rel = float(jnp.max(jnp.abs(g_fused - g_ref))
+                / (jnp.max(jnp.abs(g_ref)) + 1e-30))
+    assert rel < 1e-4, f"fused-kernel grad parity broke: rel={rel:.3e}"
 
-    log_k = jnp.zeros((BATCH,), dtype)
-    # warmup / compile
-    loss, g = grad_step(log_k)
-    jax.block_until_ready(g)
+    # honest timing: SCAN_STEPS chained SGD steps in one jit + final fetch
+    @jax.jit
+    def run(lk):
+        def step(lk, _):
+            _, g = fused_kappa_mse_step(mesh, lk, F, u_data,
+                                        block_lanes=BLOCK_LANES)
+            return lk - 0.3 * g, ()
+        lk, _ = jax.lax.scan(step, lk, None, length=SCAN_STEPS)
+        return lk
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_ITERS):
-        loss, g = grad_step(log_k)
-    jax.block_until_ready(g)
-    dt = time.perf_counter() - t0
+    out = run(lk0)
+    float(out[0])  # warmup + materialize
 
-    solves_per_s = BATCH * TIMED_ITERS / dt
+    per_step = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = run(lk0)
+        float(out[0])
+        per_step.append((time.perf_counter() - t0) / SCAN_STEPS)
+
+    solves_per_s = BATCH / min(per_step)
     print(json.dumps({
         "metric": "batched differentiable 1D FEM solves/s/chip "
-                  "(fwd+adjoint, 30-elem mesh, f32)",
+                  "(fwd+adjoint, 30-elem mesh, f32, fused Pallas grad step, "
+                  "chained-scan timing)",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_GRAD_SOLVES_PER_S, 1),

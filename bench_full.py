@@ -4,25 +4,25 @@ Unlike bench.py (ONE JSON line, run by the driver), this emits the complete
 evidence table as JSON lines — throughput per config, accuracy gates, CG
 iteration counts — and writes BENCH_local.json.
 
+Timing protocol: every throughput metric is measured with CHAINED steps
+inside one jitted lax.scan + a final host fetch (utils/profiling.
+timeit_chained) — repeated-identical-call timing lies through the remote
+tunnel (measured: f32 matmul above f32 peak; scripts/
+probe_timing_honesty.py), so it is banned here.
+
 Run on TPU:  python bench_full.py
 """
 
 import json
 import math
-import time
 
 import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def per_step_s(step_fn, x0, length=24, repeats=3):
+    from difffe_tpu.utils.profiling import timeit_chained
+    return timeit_chained(step_fn, x0, length=length, repeats=repeats).min_s
 
 
 def main():
@@ -34,7 +34,8 @@ def main():
     from difffe_tpu.ops.assembly import assemble_load
 
     results = {"platform": jax.default_backend(),
-               "device": str(jax.devices()[0])}
+               "device": str(jax.devices()[0]),
+               "timing": "chained-scan (see utils/profiling.timeit_chained)"}
 
     # ---- config 1/2: 1D batched fwd+adjoint throughput -------------------
     for n_elem, B in [(30, 8192), (128, 8192)]:
@@ -51,9 +52,31 @@ def main():
                                       method="tridiag", kappa_batched=True)
             return jnp.mean((u - u_data) ** 2)
 
-        step = jax.jit(jax.value_and_grad(loss_fn))
-        dt = timed(step, jnp.zeros((B,), jnp.float32))
+        grad = jax.grad(loss_fn)
+        dt = per_step_s(lambda lk: lk - 0.3 * grad(lk),
+                        jnp.zeros((B,), jnp.float32))
         results[f"1d_grad_solves_per_s_n{n_elem}_B{B}"] = round(B / dt, 1)
+
+    # Production 1D path: fused whole-grad-step Pallas kernel at the
+    # throughput-optimal batch (parity gated in bench.py and
+    # tests/test_fused_grad.py).
+    from difffe_tpu.ops.pallas.fused_grad_kernel import fused_kappa_mse_step
+    B = 262144
+    mesh = FEMesh.line(n_elements=30, dtype=jnp.float32)
+    x = mesh.nodes[:, 0]
+    k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,),
+                                      jnp.float32) * 2.0
+    f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+    u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                   kappa_batched=True)
+    F = assemble_load(mesh, f)
+
+    def fused_step(lk):
+        _, g = fused_kappa_mse_step(mesh, lk, F, u_data, block_lanes=1024)
+        return lk - 0.3 * g
+
+    dt = per_step_s(fused_step, jnp.zeros((B,), jnp.float32))
+    results[f"1d_grad_solves_per_s_n30_B{B}_fused"] = round(B / dt, 1)
 
     # ---- config 4: 2D structured batched fwd+adjoint ---------------------
     n, B = 64, 64
@@ -66,15 +89,15 @@ def main():
     klB = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (B, n, n),
                                    jnp.float32)
     g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
-    solve2 = jax.jit(jax.vmap(lambda kl, ff: solve_poisson_structured(
-        grid, (kl, kl), ff, g0, 0.0, 128)))
-    u2_data = solve2(klB, f2B)
+    solve2 = jax.vmap(lambda kl, ff: solve_poisson_structured(
+        grid, (kl, kl), ff, g0, 0.0, 128))
+    u2_data = jax.jit(solve2)(klB, f2B)
 
     def loss2(kl):
         return jnp.mean((solve2(kl, f2B) - u2_data) ** 2)
 
-    step2 = jax.jit(jax.value_and_grad(loss2))
-    dt2 = timed(step2, klB, iters=10)
+    g2 = jax.grad(loss2)
+    dt2 = per_step_s(lambda kl: kl - 0.05 * g2(kl), klB, length=12)
     results[f"2d_grad_solves_per_s_{n}x{n}_B{B}_xla"] = round(B / dt2, 1)
 
     # Production 2D path: Pallas whole-CG (5-point, VMEM-resident),
@@ -84,18 +107,41 @@ def main():
     f2P = jnp.broadcast_to(f2, (Bp, n + 1, n + 1))
     klP = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (Bp, n, n),
                                    jnp.float32)
-    fwd_p = jax.jit(lambda kl: solve_structured_pallas(
-        grid, (kl, kl), f2P, g0, 128, 8))
-    uP_data = fwd_p(klP)
+    fwd_p = lambda kl: solve_structured_pallas(grid, (kl, kl), f2P, g0,
+                                               128, 8)
+    uP_data = jax.jit(fwd_p)(klP)
+
+    # forward-only chain: feed a tiny function of u back into kappa
+    def fwd_step(kl):
+        u = fwd_p(kl)
+        return kl + 1e-12 * jnp.mean(u) * jnp.ones_like(kl)
+
+    dtf = per_step_s(fwd_step, klP, length=12)
 
     def loss2p(kl):
         return jnp.mean((fwd_p(kl) - uP_data) ** 2)
 
-    step2p = jax.jit(jax.value_and_grad(loss2p))
-    dtf = timed(fwd_p, klP, iters=10)
-    dtg = timed(step2p, klP, iters=10)
+    g2p = jax.grad(loss2p)
+    dtg = per_step_s(lambda kl: kl - 0.05 * g2p(kl), klP, length=12)
     results[f"2d_solves_per_s_{n}x{n}"] = round(Bp / dtf, 1)
     results[f"2d_grad_solves_per_s_{n}x{n}"] = round(Bp / dtg, 1)
+
+    # bf16-inner / f32-refined 2D path (ops/precision.py): reduced-precision
+    # throughput at its own accuracy point (~1e-3 rel — see PERFORMANCE.md
+    # precision table).
+    from difffe_tpu.ops.precision import solve_poisson_structured_bf16
+    lo = jax.vmap(lambda kl, ff: solve_poisson_structured_bf16(
+        grid, (kl, kl), ff, g0, 48, 2))
+    u_lo = jax.jit(lo)(klB, f2B)
+    results["2d_bf16ir_rel_vs_f32"] = float(
+        jnp.max(jnp.abs(u_lo - u2_data)) / jnp.max(jnp.abs(u2_data)))
+
+    def lo_step(kl):
+        u = lo(kl, f2B)
+        return kl + 1e-12 * jnp.mean(u) * jnp.ones_like(kl)
+
+    dt_lo = per_step_s(lo_step, klB, length=12)
+    results[f"2d_solves_per_s_{n}x{n}_bf16ir"] = round(B / dt_lo, 1)
 
     # ---- accuracy gates (f64 golden path on CPU semantics) ---------------
     with jax.enable_x64():
@@ -118,8 +164,8 @@ def main():
 
     # ---- PCG iteration count (observability metric) ----------------------
     mesh2d = FEMesh.rectangle(nx=32, ny=32, dtype=jnp.float32)
-    F = assemble_load(mesh2d, jnp.ones(mesh2d.n_nodes, jnp.float32))
-    _, iters, rel = cg_diagnostics(mesh2d, 1.0, F, tol=1e-6, maxiter=2000)
+    F2 = assemble_load(mesh2d, jnp.ones(mesh2d.n_nodes, jnp.float32))
+    _, iters, rel = cg_diagnostics(mesh2d, 1.0, F2, tol=1e-6, maxiter=2000)
     results["pcg_iters_32x32_tol1e-6"] = int(iters)
     results["pcg_rel_residual"] = float(rel)
 

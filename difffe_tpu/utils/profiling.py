@@ -18,6 +18,7 @@ import time
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,7 +40,15 @@ def timeit_jax(fn: Callable, *args, iters: int = 20, warmup: int = 2,
                **kwargs) -> TimingResult:
     """Time a JAX callable: warm up (compile), then time ``iters`` calls with
     a single trailing synchronization (amortizes dispatch, like production
-    pipelining) and a per-call minimum from individual synced runs."""
+    pipelining) and a per-call minimum from individual synced runs.
+
+    WARNING (measured 2026-08-19, scripts/probe_timing_honesty.py): through
+    the remote-TPU tunnel, repeated IDENTICAL calls time the dispatch
+    stream, not the device — ``block_until_ready`` returned before work
+    drained, yielding impossible rates (9.4 TB/s "HBM", f32 matmul above
+    f32 peak).  For trustworthy device throughput use :func:`timeit_chained`
+    — it is the only harness bench.py/bench_full.py accept numbers from.
+    """
     for _ in range(warmup):
         out = fn(*args, **kwargs)
     jax.block_until_ready(out)
@@ -103,3 +112,37 @@ def roofline(timing: TimingResult, flops: float, bytes_moved: float,
         bandwidth_fraction=achieved_gbps / peak_gbps,
         bound="memory" if ai < ridge else "compute",
     )
+
+
+def timeit_chained(step_fn: Callable, x0, length: int = 32,
+                   repeats: int = 3) -> TimingResult:
+    """Honest device throughput: ``length`` CHAINED steps inside one jitted
+    ``lax.scan`` (step N+1 consumes step N's carry — nothing to elide, no
+    async-dispatch credit), one host fetch at the end to force completion.
+
+    ``step_fn(carry) -> carry`` must return a pytree matching ``carry``.
+    Returns per-STEP timing.  The single dispatch+fetch round trip
+    (~40 ms on the tunnel) is amortized across ``length`` steps; increase
+    ``length`` until two repeats agree if the op is very fast.
+    Validated against physical ceilings in scripts/probe_timing_honesty.py.
+    """
+    @jax.jit
+    def run(c0):
+        def body(c, _):
+            return step_fn(c), ()
+        c, _ = jax.lax.scan(body, c0, None, length=length)
+        return c
+
+    out = run(x0)
+    jax.tree_util.tree_map(
+        lambda a: float(jnp.asarray(a).ravel()[0]), out)   # materialize
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run(x0)
+        jax.tree_util.tree_map(
+            lambda a: float(jnp.asarray(a).ravel()[0]), out)
+        times.append((time.perf_counter() - t0) / length)
+    return TimingResult(mean_s=sum(times) / len(times), min_s=min(times),
+                        iters=length * repeats)

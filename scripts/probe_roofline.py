@@ -1,0 +1,69 @@
+"""Measure this chip's empirical roofline ceilings: HBM GB/s, VPU f32
+FLOP/s, MXU bf16 FLOP/s.
+
+docs/PERFORMANCE.md's "% of peak" columns divide kernel-achieved rates by
+THESE measured ceilings, not datasheet numbers — the tunnel, runtime
+version, and clock all move; a same-session measured ceiling is the honest
+denominator.  (utils/profiling.roofline consumes the same numbers.)
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, iters=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    # HBM bandwidth: y = x + 1 over 1 GiB (1 read + 1 write)
+    n = 256 * 1024 * 1024  # 1 GiB of f32
+    x = jnp.ones((n,), jnp.float32)
+    add1 = jax.jit(lambda v: v + 1.0)
+    dt = timed(add1, x, iters=20)
+    hbm = 2 * n * 4 / dt / 1e9
+    print(f"HBM copy-add      : {hbm:8.1f} GB/s", flush=True)
+
+    # VPU f32: 256 chained FMAs per element on an HBM-light working set
+    m = 8 * 1024 * 1024
+    v = jnp.full((m,), 1.0000001, jnp.float32)
+
+    def fma_chain(v):
+        y = v
+        for _ in range(256):
+            y = y * 1.0000001 + 1e-7
+        return y
+
+    fmaj = jax.jit(fma_chain)
+    dt = timed(fmaj, v, iters=20)
+    vpu = 2 * 256 * m / dt / 1e12
+    print(f"VPU f32 FMA chain : {vpu:8.2f} TFLOP/s", flush=True)
+
+    # MXU bf16: 4096^3 matmul with f32 accumulation
+    k = 4096
+    a = jnp.ones((k, k), jnp.bfloat16)
+    b = jnp.ones((k, k), jnp.bfloat16)
+    mm = jax.jit(lambda a, b: jnp.dot(a, b,
+                                      preferred_element_type=jnp.float32))
+    dt = timed(mm, a, b, iters=20)
+    mxu = 2 * k ** 3 / dt / 1e12
+    print(f"MXU bf16 matmul   : {mxu:8.1f} TFLOP/s", flush=True)
+
+    # MXU f32 for comparison
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    mm32 = jax.jit(lambda a, b: a @ b)
+    dt = timed(mm32, a32, b32, iters=20)
+    print(f"MXU f32 matmul    : {2 * k**3 / dt / 1e12:8.1f} TFLOP/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Does identical-args benchmarking lie on this tunnel?  (timing audit)
+
+Round-2 red flag: simple probes measured 105 TB/s "HBM bandwidth" and 1.7M
+f32 2D CG solves/s — physically impossible on a v5e.  Hypotheses: (a) the
+axon tunnel memoizes identical (executable, args) requests; (b) XLA folds
+constant-parameter chains; (c) async dispatch outruns block_until_ready.
+
+Protocol: time the same jitted fn two ways —
+  IDENT:  20 calls with the same input, block on the last output;
+  CHAIN:  20 calls where each input depends on the previous output
+          (x += eps*out — un-memoizable, serialized by data flow).
+If IDENT >> CHAIN, identical-args numbers are lies and every benchmark must
+chain.  CHAIN is always a valid lower bound.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def ident(fn, x, iters=20):
+    out = fn(x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def chain(fn, x, iters=20):
+    out = fn(x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+        x = x + 1e-12 * out      # data dependency; different arg every call
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def chain_fetch(fn, x, iters=20):
+    """chain + materialize a scalar to host — catches a block_until_ready
+    that returns before remote execution actually finished."""
+    out = fn(x)
+    float(out.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+        x = x + 1e-12 * out
+    s = float(out.ravel()[0])
+    dt = (time.perf_counter() - t0) / iters
+    assert s == s
+    return dt
+
+
+def main():
+    n = 64 * 1024 * 1024  # 256 MB f32
+    x = jnp.ones((n,), jnp.float32)
+    add1 = jax.jit(lambda v: v + 1.0)
+    ti, tc, tf = ident(add1, x), chain(add1, x), chain_fetch(add1, x)
+    print(f"add-256MB ident {2*n*4/ti/1e9:9.1f} GB/s | chain "
+          f"{2*n*4/tc/1e9:9.1f} GB/s | fetch {2*n*4/tf/1e9:9.1f} GB/s",
+          flush=True)
+
+    m = 4 * 1024 * 1024
+    v = jnp.full((m,), 0.5, jnp.float32)
+
+    def poly(v):  # nonlinear, unfoldable: 2 flops/elem/step
+        y = v
+        for _ in range(256):
+            y = y * y + 0.25
+        return y
+
+    pj = jax.jit(poly)
+    ti, tc, tf = ident(pj, v), chain(pj, v), chain_fetch(pj, v)
+    print(f"poly-256  ident {2*256*m/ti/1e12:9.2f} TF/s | chain "
+          f"{2*256*m/tc/1e12:9.2f} TF/s | fetch {2*256*m/tf/1e12:9.2f} TF/s",
+          flush=True)
+
+    k = 4096
+    a = jax.random.normal(jax.random.PRNGKey(0), (k, k)).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, k)).astype(jnp.bfloat16)
+    mm = jax.jit(lambda a: jnp.dot(a, b, preferred_element_type=jnp.float32)
+                 .astype(jnp.bfloat16) * (1.0 / k))
+    ti, tc, tf = ident(mm, a), chain(mm, a), chain_fetch(mm, a)
+    print(f"mm4096bf16 ident {2*k**3/ti/1e12:8.1f} TF/s | chain "
+          f"{2*k**3/tc/1e12:8.1f} TF/s | fetch {2*k**3/tf/1e12:8.1f} TF/s",
+          flush=True)
+
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    mm32 = jax.jit(lambda a: (a @ b32) * (1.0 / k))
+    ti, tc, tf = ident(mm32, a32), chain(mm32, a32), chain_fetch(mm32, a32)
+    print(f"mm4096f32 ident {2*k**3/ti/1e12:9.1f} TF/s | chain "
+          f"{2*k**3/tc/1e12:9.1f} TF/s | fetch {2*k**3/tf/1e12:9.1f} TF/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    scan_inside_jit()
+
+
+def scan_inside_jit():
+    """The production-honest protocol: K chained steps inside ONE jit,
+    timed end-to-end with a final host fetch.  One tunnel round trip,
+    device-side dependency chain — nothing to memoize, nothing async."""
+    import functools
+
+    m = 4 * 1024 * 1024
+    v = jnp.full((m,), 0.5, jnp.float32)
+    K = 64
+
+    @jax.jit
+    def polyK(v):
+        def step(c, _):
+            return c * c + 0.25, ()
+        out, _ = jax.lax.scan(step, v, None, length=K)
+        return out
+
+    out = polyK(v)
+    float(out.ravel()[0])
+    t0 = time.perf_counter()
+    out = polyK(v)
+    s = float(out.ravel()[0])
+    dt = time.perf_counter() - t0
+    print(f"poly scan-in-jit  : {2*K*m/dt/1e12:9.2f} TF/s  (K={K}, one "
+          f"dispatch+fetch)", flush=True)
+
+    k = 2048
+    a = jax.random.normal(jax.random.PRNGKey(0), (k, k)).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (k, k)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def mmK(a):
+        def step(c, _):
+            y = jnp.dot(c, b, preferred_element_type=jnp.float32)
+            return (y * (1.0 / k)).astype(jnp.bfloat16), ()
+        out, _ = jax.lax.scan(step, a, None, length=K)
+        return out
+
+    out = mmK(a)
+    float(out.ravel()[0])
+    t0 = time.perf_counter()
+    out = mmK(a)
+    s = float(out.ravel()[0])
+    dt = time.perf_counter() - t0
+    print(f"mm2048 scan-in-jit: {2*K*k**3/dt/1e12:9.1f} TF/s bf16", flush=True)
+
+    n = 64 * 1024 * 1024
+
+    @jax.jit
+    def addK(x):
+        def step(c, _):
+            return c + 1.0, ()
+        out, _ = jax.lax.scan(step, x, None, length=K)
+        return out
+
+    x = jnp.ones((n,), jnp.float32)
+    out = addK(x)
+    float(out.ravel()[0])
+    t0 = time.perf_counter()
+    out = addK(x)
+    s = float(out.ravel()[0])
+    dt = time.perf_counter() - t0
+    print(f"add scan-in-jit   : {2*K*n*4/dt/1e9:9.1f} GB/s  (256MB, K={K})",
+          flush=True)
+    assert s == s
