@@ -1,7 +1,10 @@
 """Parallelism: device meshes, scenario-batch (dp) and DOF (tp/sp) sharding,
-explicit shard_map+psum training steps, multi-host init."""
+explicit shard_map+psum training steps, time-axis pipeline parallelism,
+expert-parallel surrogate banks, multi-host init."""
 
+from .expert import make_dispatch, moe_apply, route_by_bucket
 from .halo import halo_cg_solve, make_halo_apply, make_halo_solver
+from .pipeline import pipelined_rollout
 from .sharding import (
     batch_dof_sharding,
     batch_sharding,
@@ -14,6 +17,10 @@ from .sharding import (
 
 __all__ = [
     "batch_dof_sharding",
+    "make_dispatch",
+    "moe_apply",
+    "route_by_bucket",
+    "pipelined_rollout",
     "halo_cg_solve",
     "make_halo_apply",
     "make_halo_solver",
