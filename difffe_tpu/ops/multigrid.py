@@ -178,18 +178,21 @@ def solve_poisson_structured_mg(grid: StructuredGrid, kappa_lu, f: jax.Array,
                                 g: jax.Array, tol: float = 1e-10,
                                 maxiter: Optional[int] = None,
                                 max_levels: int = 6,
-                                gamma: int = 2) -> jax.Array:
+                                gamma: int = 1) -> jax.Array:
     """MG-preconditioned CG Poisson solve on the structured grid.
 
     Same contract as ``solve_poisson_structured``; iteration counts are
-    mesh-independent (~10-20 to 1e-10), so large grids cost O(N).
+    mesh-independent (~10-30 to 1e-10), so large grids cost O(N).
 
-    ``gamma`` is the cycle index (2 = W-cycle default, 1 = V-cycle) and
-    ``max_levels`` caps hierarchy depth.  Both trade convergence per
-    iteration against traced-graph size: the W-cycle visits level L
-    2^L times, so at deep hierarchies (128×128+, 6 levels) XLA compile
-    time grows steeply — prefer gamma=1 or max_levels=4 there when
-    compile latency matters more than iteration count."""
+    ``gamma`` is the cycle index (1 = V-cycle DEFAULT, 2 = W-cycle) and
+    ``max_levels`` caps hierarchy depth.  The W-cycle visits level L
+    2^L times, so its traced graph grows exponentially with depth —
+    measured >10-min XLA compile at 128×128 / 6 levels under vmap.  The
+    V-cycle default compiles in seconds at every size tried (trades ~1.5×
+    more iterations); opt into gamma=2 only for small hierarchies where
+    per-iteration convergence matters more than compile latency.
+    Measured CPU-f64 crossover vs fixed-trip Jacobi-PCG:
+    docs/PERFORMANCE.md 'Multigrid crossover' table."""
     return _mg_impl(grid, kappa_lu, f, g, tol, maxiter, max_levels, gamma)
 
 

@@ -1,0 +1,83 @@
+"""CPU f64: measure the Jacobi-PCG vs MG-PCG crossover (VERDICT item 10).
+
+Both paths solve the same per-triangle-κ Poisson problem to tol=1e-8.
+Jacobi-PCG iteration count grows O(n) with refinement; MG's is
+mesh-independent — the question is where MG's per-iteration cost (one
+V-cycle ≈ 10-16 fine-apply equivalents) is paid back.  Run:
+
+    JAX_PLATFORMS= python scripts/probe_mg_crossover.py [sizes...]
+"""
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def timed(fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from difffe_tpu.ops.multigrid import _mg_impl, _mg_setup, _pcg_mg
+    from difffe_tpu.ops.stencil import (StructuredGrid,
+                                        solve_poisson_structured)
+
+    sizes = [int(a) for a in sys.argv[1:]] or [64, 128, 256, 512]
+    tol = 1e-8
+    for n in sizes:
+        grid = StructuredGrid.unit(n, n)
+        kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (n, n))
+        ku = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (n, n))
+        f = jnp.ones((n + 1, n + 1))
+        g = jnp.zeros((n + 1, n + 1))
+
+        # iteration counts at this tol (diagnostics variants)
+        from difffe_tpu.ops.pcg import pcg
+        from difffe_tpu.ops.stencil import (_operator, boundary_mask_grid,
+                                            load_grid, stencil_apply,
+                                            stencil_coefficients)
+        C = stencil_coefficients(grid, kl, ku)
+        m = boundary_mask_grid(grid, f.dtype)
+        p = 1.0 - m
+        F = load_grid(grid, f)
+        b = m * g + p * (F - stencil_apply(C, m * g))
+        diagA = m + p * C[..., 0, :, :]
+        Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+        x0 = jnp.broadcast_to(m * g, b.shape)
+        _, it_cg, _ = jax.jit(lambda: pcg(
+            lambda v: _operator(C, m, v), b, lambda r: Minv * r, x0,
+            tol, 8 * n, with_diagnostics=True))()
+        levels, bmg, x0mg = _mg_setup(grid, (kl, ku), f, g, 6)
+        _, it_mg, _ = jax.jit(lambda: _pcg_mg(
+            levels, bmg, x0mg, tol, 200, gamma=1))()
+
+        cg = jax.jit(lambda kl_, ku_: solve_poisson_structured(
+            grid, (kl_, ku_), f, g, tol, 8 * n))
+        t_cg = timed(cg, kl, ku)
+        mg = jax.jit(lambda kl_, ku_: _mg_impl(
+            grid, (kl_, ku_), f, g, tol, 200, 6, 1))
+        t0c = time.perf_counter()
+        mg(kl, ku)  # compile+run
+        compile_mg = time.perf_counter() - t0c
+        t_mg = timed(mg, kl, ku)
+        u1, u2 = cg(kl, ku), mg(kl, ku)
+        rel = float(jnp.max(jnp.abs(u1 - u2)) / jnp.max(jnp.abs(u1)))
+        print(f"n={n:4d}: PCG {int(it_cg):4d} iters {t_cg*1e3:9.1f} ms | "
+              f"MG(V) {int(it_mg):3d} iters {t_mg*1e3:9.1f} ms "
+              f"(compile+first {compile_mg:.1f}s) | speedup "
+              f"{t_cg/t_mg:5.2f}x | rel {rel:.1e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
