@@ -1,0 +1,47 @@
+"""TPU probe: MXU factorized fused grad kernel vs the PCR fused kernel.
+
+Both compute the same per-scenario-scalar-kappa recovery step; the MXU
+variant replaces the 5 PCR sweep chains (VPU-issue-bound, 58% of FMA
+ceiling) with two (N,N)x(N,L) matmuls.  Chained-scan timing throughout.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.pallas.fused_grad_kernel import fused_kappa_mse_step
+    from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+        fused_kappa_mse_step_mxu
+    from difffe_tpu.solver import solve_poisson_batched
+    from difffe_tpu.utils.profiling import timeit_chained
+
+    for n, B in [(30, 262144), (30, 1048576), (128, 262144)]:
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+        x = mesh.nodes[:, 0]
+        k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,)) * 2.0
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                       kappa_batched=True)
+        F = assemble_load(mesh, f)
+        lk0 = jnp.zeros((B,), jnp.float32)
+
+        for name, fn in [("pcr", fused_kappa_mse_step),
+                         ("mxu", fused_kappa_mse_step_mxu)]:
+            for L in (512, 1024, 2048, 4096):
+                def step(lk):
+                    _, g = fn(mesh, lk, F, u_data, block_lanes=L)
+                    return lk - 0.3 * g
+                try:
+                    r = timeit_chained(step, lk0, length=24, repeats=2)
+                except Exception as e:
+                    print(f"n={n} B={B} {name} L={L}: FAIL "
+                          f"{type(e).__name__} {str(e)[:90]}", flush=True)
+                    continue
+                print(f"n={n} B={B} {name} L={L:5d}: "
+                      f"{B/r.min_s:16,.0f} grad-solves/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

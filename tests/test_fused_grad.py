@@ -114,3 +114,76 @@ class TestFusedKappaMseStep:
             lk, st = step(lk, st)
         np.testing.assert_allclose(np.asarray(jnp.exp(lk)),
                                    np.asarray(k_true), rtol=2e-3)
+
+
+class TestFusedMxuVariant:
+    """MXU factorized variant (fused_grad_mxu_kernel.py): u = W(D_κ⁻¹r)."""
+
+    @pytest.mark.parametrize("n,B", [(30, 16), (13, 7), (100, 4)])
+    def test_loss_and_grad_match_xla(self, n, B):
+        from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+            fused_kappa_mse_step_mxu
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+        x = mesh.nodes[:, 0]
+        k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,),
+                                          jnp.float32) * 2.0
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                       kappa_batched=True)
+        log_k = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B,))
+
+        loss_ref, grad_ref = jax.value_and_grad(
+            _reference_loss(mesh, f, u_data))(log_k)
+        F = assemble_load(mesh, f)
+        lp, gk = fused_kappa_mse_step_mxu(mesh, log_k, F, u_data,
+                                          block_lanes=128)
+        loss_fused = lp.sum() / (B * mesh.n_nodes)
+        np.testing.assert_allclose(float(loss_fused), float(loss_ref),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(grad_ref),
+                                   rtol=2e-3, atol=1e-8)
+
+    def test_nonzero_dirichlet(self):
+        from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+            fused_kappa_mse_step_mxu
+        mesh = FEMesh.line(n_elements=24, bc_left=0.7, bc_right=-0.4,
+                           dtype=jnp.float32)
+        B = 8
+        x = mesh.nodes[:, 0]
+        k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(2), (B,),
+                                          jnp.float32)
+        f = jnp.broadcast_to(jnp.cos(jnp.pi * x), (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                       kappa_batched=True)
+        log_k = jnp.zeros((B,), jnp.float32)
+        loss_ref, grad_ref = jax.value_and_grad(
+            _reference_loss(mesh, f, u_data))(log_k)
+        F = assemble_load(mesh, f)
+        lp, gk = fused_kappa_mse_step_mxu(mesh, log_k, F, u_data,
+                                          block_lanes=128)
+        np.testing.assert_allclose(float(lp.sum() / (B * mesh.n_nodes)),
+                                   float(loss_ref), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(grad_ref),
+                                   rtol=2e-3, atol=1e-8)
+
+    def test_agrees_with_pcr_variant(self):
+        from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+            fused_kappa_mse_step_mxu
+        mesh = FEMesh.line(n_elements=30, dtype=jnp.float32)
+        B = 32
+        x = mesh.nodes[:, 0]
+        k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(3), (B,),
+                                          jnp.float32) * 2.0
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                       kappa_batched=True)
+        log_k = 0.2 * jax.random.normal(jax.random.PRNGKey(4), (B,))
+        F = assemble_load(mesh, f)
+        lp1, g1 = fused_kappa_mse_step(mesh, log_k, F, u_data,
+                                       block_lanes=128)
+        lp2, g2 = fused_kappa_mse_step_mxu(mesh, log_k, F, u_data,
+                                           block_lanes=128)
+        np.testing.assert_allclose(np.asarray(lp2), np.asarray(lp1),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=2e-3, atol=1e-8)
