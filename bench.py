@@ -5,11 +5,14 @@ FEM solve plus an adjoint solve with gradients to per-scenario κ — on a
 30-element mesh, matching the reference's measured 95 grad-solves/s
 (fwd+backward ∂/∂κ, 30 elements, CPU float64 — BASELINE.md 'measured').
 
-Production path: the fused whole-grad-step Pallas kernel
-(ops/pallas/fused_grad_kernel.py) — band assembly, BC elimination, forward
-PCR, loss partials, factor-reuse adjoint, and the κ contraction in one
-VMEM-resident launch.  Gradient parity vs the unfused XLA path is asserted
-in-run (1e-4); standing parity tests live in tests/test_fused_grad.py.
+Production path: the MXU-factorized fused grad-step Pallas kernel
+(ops/pallas/fused_grad_mxu_kernel.py) — for per-scenario scalar κ the
+BC-eliminated system factors as diag(m+κp)·Ã, so the solve is a
+precomputed-inverse matmul: RHS assembly, u = W(D⁻¹r), loss partials,
+adjoint λ = W(D⁻¹ḡ), κ contraction in one VMEM-resident launch with the
+two matmuls on the MXU.  Gradient parity vs the unfused XLA path is
+asserted in-run (1e-4); standing parity tests live in
+tests/test_fused_grad.py (incl. vs the general PCR kernel).
 
 Timing protocol (HONEST — see utils/profiling.timeit_chained and
 scripts/probe_timing_honesty.py): K data-CHAINED SGD steps inside one
@@ -32,8 +35,10 @@ import jax.numpy as jnp
 
 BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
 N_ELEMENTS = 30
-BATCH = 262144
-BLOCK_LANES = 1024
+# probe_mxu_grad 2026-08-19 (chained): MXU kernel B=1M/L=4096 -> 461M;
+# PCR kernel 206-314M; B=256k ~0.5x.  Large batch amortizes dispatch.
+BATCH = 1048576
+BLOCK_LANES = 4096
 SCAN_STEPS = 30
 REPEATS = 3
 
@@ -41,7 +46,8 @@ REPEATS = 3
 def main():
     from difffe_tpu.mesh import FEMesh
     from difffe_tpu.ops.assembly import assemble_load
-    from difffe_tpu.ops.pallas.fused_grad_kernel import fused_kappa_mse_step
+    from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+        fused_kappa_mse_step_mxu
     from difffe_tpu.solver import solve_poisson_batched
 
     dtype = jnp.float32
@@ -57,7 +63,7 @@ def main():
 
     # parity gate: fused kernel grad == unfused XLA grad
     lk0 = jnp.zeros((BATCH,), dtype)
-    _, g_fused = jax.jit(lambda lk: fused_kappa_mse_step(
+    _, g_fused = jax.jit(lambda lk: fused_kappa_mse_step_mxu(
         mesh, lk, F, u_data, block_lanes=BLOCK_LANES))(lk0)
 
     def loss_xla(lk):
@@ -70,30 +76,32 @@ def main():
                 / (jnp.max(jnp.abs(g_ref)) + 1e-30))
     assert rel < 1e-4, f"fused-kernel grad parity broke: rel={rel:.3e}"
 
-    # honest timing: SCAN_STEPS chained SGD steps in one jit + final fetch
+    # honest timing: SCAN_STEPS chained SGD steps in one jit + final fetch.
+    # F/u_data enter as jit ARGS — closure literals blow up the
+    # remote-compile payload (HTTP 413 at ~250 MB measured).
     @jax.jit
-    def run(lk):
+    def run(lk, F_, ud_):
         def step(lk, _):
-            _, g = fused_kappa_mse_step(mesh, lk, F, u_data,
-                                        block_lanes=BLOCK_LANES)
+            _, g = fused_kappa_mse_step_mxu(mesh, lk, F_, ud_,
+                                            block_lanes=BLOCK_LANES)
             return lk - 0.3 * g, ()
         lk, _ = jax.lax.scan(step, lk, None, length=SCAN_STEPS)
         return lk
 
-    out = run(lk0)
+    out = run(lk0, F, u_data)
     float(out[0])  # warmup + materialize
 
     per_step = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = run(lk0)
+        out = run(lk0, F, u_data)
         float(out[0])
         per_step.append((time.perf_counter() - t0) / SCAN_STEPS)
 
     solves_per_s = BATCH / min(per_step)
     print(json.dumps({
         "metric": "batched differentiable 1D FEM solves/s/chip "
-                  "(fwd+adjoint, 30-elem mesh, f32, fused Pallas grad step, "
+                  "(fwd+adjoint, 30-elem mesh, f32, MXU-factorized fused grad step, "
                   "chained-scan timing)",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",

@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 
 
-def per_step_s(step_fn, x0, length=24, repeats=3):
+def per_step_s(step_fn, x0, length=24, repeats=3, args=()):
     from difffe_tpu.utils.profiling import timeit_chained
-    return timeit_chained(step_fn, x0, length=length, repeats=repeats).min_s
+    return timeit_chained(step_fn, x0, length=length, repeats=repeats,
+                          args=args).min_s
 
 
 def main():
@@ -57,11 +58,13 @@ def main():
                         jnp.zeros((B,), jnp.float32))
         results[f"1d_grad_solves_per_s_n{n_elem}_B{B}"] = round(B / dt, 1)
 
-    # Production 1D path: fused whole-grad-step Pallas kernel at the
+    # Production 1D path: MXU-factorized fused grad-step kernel at the
     # throughput-optimal batch (parity gated in bench.py and
-    # tests/test_fused_grad.py).
+    # tests/test_fused_grad.py); the general PCR kernel is benched alongside.
     from difffe_tpu.ops.pallas.fused_grad_kernel import fused_kappa_mse_step
-    B = 262144
+    from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+        fused_kappa_mse_step_mxu
+    B = 1048576
     mesh = FEMesh.line(n_elements=30, dtype=jnp.float32)
     x = mesh.nodes[:, 0]
     k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,),
@@ -71,12 +74,21 @@ def main():
                                    kappa_batched=True)
     F = assemble_load(mesh, f)
 
-    def fused_step(lk):
-        _, g = fused_kappa_mse_step(mesh, lk, F, u_data, block_lanes=1024)
+    def fused_step_mxu(lk, F_, ud_):
+        _, g = fused_kappa_mse_step_mxu(mesh, lk, F_, ud_, block_lanes=4096)
         return lk - 0.3 * g
 
-    dt = per_step_s(fused_step, jnp.zeros((B,), jnp.float32))
-    results[f"1d_grad_solves_per_s_n30_B{B}_fused"] = round(B / dt, 1)
+    dt = per_step_s(fused_step_mxu, jnp.zeros((B,), jnp.float32),
+                    args=(F, u_data))
+    results[f"1d_grad_solves_per_s_n30_B{B}_fused_mxu"] = round(B / dt, 1)
+
+    def fused_step_pcr(lk, F_, ud_):
+        _, g = fused_kappa_mse_step(mesh, lk, F_, ud_, block_lanes=512)
+        return lk - 0.3 * g
+
+    dt = per_step_s(fused_step_pcr, jnp.zeros((B,), jnp.float32),
+                    args=(F, u_data))
+    results[f"1d_grad_solves_per_s_n30_B{B}_fused_pcr"] = round(B / dt, 1)
 
     # ---- config 4: 2D structured batched fwd+adjoint ---------------------
     n, B = 64, 64

@@ -64,13 +64,18 @@ def _mxu_step_kernel(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
     kappa = jnp.exp(lk_ref[:])                    # (1, L)
     r = mg + p * f_ref[:] - kappa * t0            # (N, L)
     dinv = m + p / kappa                          # (N, L)
-    u = jnp.dot(W, dinv * r, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: the MXU's default f32 path truncates inputs to
+    # bf16 (measured 2.6e-3 grad error vs XLA on chip); the 3-pass f32
+    # algorithm restores ~1e-5 parity at negligible cost for N<=136.
+    u = jnp.dot(W, dinv * r, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     diff = u - ud_ref[:]
     loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
 
     lam = jnp.dot(W, dinv * (scale * diff),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
 
     zero = jnp.zeros((), u.dtype)
     u_im1 = _shift_kernel_up_rows(u, 1, zero)
@@ -85,6 +90,7 @@ def _mxu_step_kernel(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
 def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
                 block_lanes: int):
     N, B = F.shape
+    Wc = W.shape[1]
     kernel = functools.partial(_mxu_step_kernel, n_rows=n_rows, scale=scale)
     row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
@@ -92,12 +98,14 @@ def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
                          memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((N, 128), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((N, Wc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((1, B), F.dtype),
                    jax.ShapeDtypeStruct((1, B), F.dtype)),
         grid=(B // block_lanes,),
-        in_specs=[row, plane, plane, shared, shared],
+        in_specs=[row, plane, plane, shared, wspec],
         out_specs=(row, row),
         interpret=_is_cpu(),
         cost_estimate=pl.CostEstimate(
@@ -129,6 +137,12 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
     if scale is None:
         scale = 2.0 / (B * n)
 
+    # Mesh-derived setup (incl. the numpy inverse) must evaluate at trace
+    # time even when this function is called under jit — the mesh is a
+    # concrete closure, so force compile-time eval for everything below
+    # that does not touch the traced operands.
+    cte = jax.ensure_compile_time_eval()
+    cte.__enter__()
     d_unit, e_unit = assemble_tridiag_1d(mesh, jnp.ones((), dtype))
     m = mesh.bc_mask
     p = 1.0 - m
@@ -160,8 +174,10 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
     Wnp = np.linalg.inv(A)
     Wfull = np.eye(N, dtype=np.float64)
     Wfull[:n, :n] = Wnp
-    W = jnp.zeros((N, 128), dtype).at[:, :N].set(
+    Wc = _round_up(N, 128)   # lane-padded columns (N can exceed 128)
+    W = jnp.zeros((N, Wc), dtype).at[:, :N].set(
         jnp.asarray(Wfull, dtype))
+    cte.__exit__(None, None, None)
 
     lk = jnp.zeros((1, Bp), dtype).at[0, :B].set(log_k)
     FT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(

@@ -115,7 +115,7 @@ def roofline(timing: TimingResult, flops: float, bytes_moved: float,
 
 
 def timeit_chained(step_fn: Callable, x0, length: int = 32,
-                   repeats: int = 3) -> TimingResult:
+                   repeats: int = 3, args=()) -> TimingResult:
     """Honest device throughput: ``length`` CHAINED steps inside one jitted
     ``lax.scan`` (step N+1 consumes step N's carry — nothing to elide, no
     async-dispatch credit), one host fetch at the end to force completion.
@@ -125,22 +125,27 @@ def timeit_chained(step_fn: Callable, x0, length: int = 32,
     (~40 ms on the tunnel) is amortized across ``length`` steps; increase
     ``length`` until two repeats agree if the op is very fast.
     Validated against physical ceilings in scripts/probe_timing_honesty.py.
+
+    Pass large non-carry operands via ``args`` (forwarded as
+    ``step_fn(carry, *args)``): closure-captured arrays are baked into the
+    HLO as literals, which blows up remote-compile payloads (HTTP 413 at
+    ~250 MB measured) and compile time.
     """
     @jax.jit
-    def run(c0):
+    def run(c0, *a):
         def body(c, _):
-            return step_fn(c), ()
+            return step_fn(c, *a), ()
         c, _ = jax.lax.scan(body, c0, None, length=length)
         return c
 
-    out = run(x0)
+    out = run(x0, *args)
     jax.tree_util.tree_map(
         lambda a: float(jnp.asarray(a).ravel()[0]), out)   # materialize
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = run(x0)
+        out = run(x0, *args)
         jax.tree_util.tree_map(
             lambda a: float(jnp.asarray(a).ravel()[0]), out)
         times.append((time.perf_counter() - t0) / length)

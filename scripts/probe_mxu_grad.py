@@ -30,11 +30,12 @@ def main():
         for name, fn in [("pcr", fused_kappa_mse_step),
                          ("mxu", fused_kappa_mse_step_mxu)]:
             for L in (512, 1024, 2048, 4096):
-                def step(lk):
-                    _, g = fn(mesh, lk, F, u_data, block_lanes=L)
+                def step(lk, F_, ud_):
+                    _, g = fn(mesh, lk, F_, ud_, block_lanes=L)
                     return lk - 0.3 * g
                 try:
-                    r = timeit_chained(step, lk0, length=24, repeats=2)
+                    r = timeit_chained(step, lk0, length=24, repeats=2,
+                                       args=(F, u_data))
                 except Exception as e:
                     print(f"n={n} B={B} {name} L={L}: FAIL "
                           f"{type(e).__name__} {str(e)[:90]}", flush=True)
