@@ -320,3 +320,142 @@ def _bwd(grid, iters, block_b, res, gbar):
 
 
 solve_structured_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused fwd+adjoint grad step: both CG solves in ONE kernel launch
+# ---------------------------------------------------------------------------
+
+def _cg2_kernel_tb(d0, d1, d2, d3, d4, b_ref, minv_ref, x0_ref, ud_ref,
+                   x_ref, lam_ref, *, iters: int, scale: float):
+    """Forward CG, MSE cotangent, adjoint CG — one VMEM residency.
+
+    The planes are read from HBM once and reused for both solves; the
+    intermediate solution never leaves VMEM between them.  Same (TB, H, W)
+    layout and (TB, 1)-reduction rules as _cg_kernel_tb.  ``scale`` is the
+    static loss-cotangent scale (ḡ = scale · (x − u_data)); an SMEM scalar
+    input read fine in interpret mode but produced zero gradients on
+    hardware, so it is compile-time now.
+    """
+    D = [d0[:], d1[:], d2[:], d3[:], d4[:]]
+    Minv = minv_ref[:]
+    TB = Minv.shape[0]
+
+    def A(v):
+        out = D[0] * v
+        for k, (dr, dc) in enumerate(OFFSETS[1:5], start=1):
+            out = out + D[k] * _shift_hw3(v, dr, dc)
+        return out
+
+    def dot(u, v):
+        return jnp.sum((u * v).reshape(TB, -1), axis=1, keepdims=True)
+
+    def cg(b, x):
+        r = b - A(x)
+        z = Minv * r
+        p = z
+        rz = dot(r, z)
+
+        def body(_, state):
+            x, r, p, rz = state
+            Ap = A(p)
+            pAp = dot(p, Ap)
+            alpha = jnp.where(pAp != 0,
+                              rz / jnp.where(pAp != 0, pAp, 1.0),
+                              0.0)[:, :, None]
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = Minv * r
+            rz_new = dot(r, z)
+            beta = jnp.where(rz != 0,
+                             rz_new / jnp.where(rz != 0, rz, 1.0),
+                             0.0)[:, :, None]
+            p = z + beta * p
+            return x, r, p, rz_new
+
+        x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+        return x
+
+    x = cg(b_ref[:], x0_ref[:])
+    x_ref[:] = x
+    gbar = scale * (x - ud_ref[:])
+    lam_ref[:] = cg(gbar, jnp.zeros_like(x))
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "iters", "block_b"))
+def _cg2_pallas(D, b, Minv, x0, ud, scale: float, iters: int,
+                block_b: int = 8):
+    _, B, H, W = D.shape
+    kernel = functools.partial(_cg2_kernel_tb, iters=iters, scale=scale)
+    plane = pl.BlockSpec((block_b, H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    flops_per_iter = (5 * 2 + 10) * H * W
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, H, W), b.dtype),
+                   jax.ShapeDtypeStruct((B, H, W), b.dtype)),
+        grid=(B // block_b,),
+        in_specs=[plane] * 9,
+        out_specs=(plane, plane),
+        interpret=_is_cpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=B * 2 * iters * flops_per_iter,
+            bytes_accessed=(B * 11 * H * W) * b.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*[D[k] for k in range(5)], b, Minv, x0, ud)
+
+
+def fused_kappa_mse_step_2d(grid: StructuredGrid, kappa_lu, f: jax.Array,
+                            g: jax.Array, u_data: jax.Array,
+                            scale: Optional[float] = None,
+                            iters: int = 128, block_b: int = 8):
+    """Whole 2D κ-field MSE gradient step in one kernel launch.
+
+    For loss = scale/2 · Σ_{b,ij} (u_b − u_data_b)²_{ij} with
+    u_b = A(κ_b)⁻¹ b(f, g, κ_b) (the config-4 workload; default
+    ``scale = 2/(B·H·W)`` matches ``jnp.mean``), returns
+
+        (loss_parts (B,), (∂κ_lower, ∂κ_upper), u (B, H, W))
+
+    with both CG solves (forward and IFT adjoint) fused into a single
+    Pallas launch: the folded planes are read from HBM once, and u never
+    round-trips between the solves.  κ cotangents via the closed-form
+    residual VJP (ops/stencil.py:residual_vjp_manual).  Not differentiable
+    — it IS the gradient step (use solve_structured_pallas for
+    higher-order needs).  Parity: tests/test_pallas_stencil.py; gradients
+    are bit-exact vs the two-launch custom-VJP path on chip.
+
+    Measured honestly (TPU v5e, 64×64, B=512, 128 iters, chained timing):
+    1.007× vs the two-launch path — the 2×128 CG iterations dominate and
+    XLA's inter-launch glue was already cheap, so this is a CONVENIENCE
+    API (one call → loss parts, κ grads, u), not a speedup.  Kept because
+    the single launch also halves peak HBM working set for the planes.
+    """
+    from ..stencil import residual_vjp_manual
+
+    kl, ku = kappa_lu
+    batched = jnp.ndim(kl) == 3 or f.ndim == 3
+    C, D_p, b_p, minv_p, x0_p, B, W = _prepare(grid, kappa_lu, f, g,
+                                               block_b=block_b)
+    H = grid.node_shape[0]
+    Bp, _, Wp = minv_p.shape
+    dtype = b_p.dtype
+    if scale is None:
+        scale = 2.0 / (B * H * W)
+    ud = u_data if u_data.ndim == 3 else u_data[None]
+    ud_p = jnp.zeros((Bp, H, Wp), dtype).at[:B, :, :W].set(
+        jnp.broadcast_to(ud, (B, H, W)))
+
+    x_p, lam_p = _cg2_pallas(D_p, b_p, minv_p, x0_p, ud_p, float(scale),
+                             iters, block_b)
+    u = x_p[:B, :, :W]
+    lam = lam_p[:B, :, :W]
+    diff = u - jnp.broadcast_to(ud, (B, H, W))
+    loss_parts = jnp.sum(diff * diff, axis=(1, 2))
+
+    if not batched and u.shape[0] == 1:
+        u, lam = u[0], lam[0]
+        C = C[0] if C.shape[0] == 1 else C
+    grads = residual_vjp_manual(grid, kappa_lu, f, g, u, lam, C=C)
+    return loss_parts, grads[0], u

@@ -101,3 +101,53 @@ class TestMultiScenarioBlocks:
         u4 = solve_structured_pallas(grid, (kl, kl), f, g, 150, 4)
         np.testing.assert_allclose(np.asarray(u4), np.asarray(u1),
                                    atol=1e-9)
+
+
+class TestFusedGradStep2D:
+    """fused_kappa_mse_step_2d: fwd+adjoint in one launch == custom-VJP path."""
+
+    def test_matches_two_launch_gradient(self):
+        from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+            fused_kappa_mse_step_2d, solve_structured_pallas)
+        n, B = 16, 4
+        grid = StructuredGrid.unit(n, n)
+        kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B, n, n),
+                                      jnp.float32)
+        f = jnp.ones((B, n + 1, n + 1), jnp.float32)
+        g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+        u_data = solve_structured_pallas(grid, (kl * 1.5, kl), f, g0, 64, 2)
+
+        def loss(kl_):
+            u = solve_structured_pallas(grid, (kl_, kl), f, g0, 64, 2)
+            return jnp.mean((u - u_data) ** 2)
+
+        l_ref, g_ref = jax.value_and_grad(loss)(kl)
+        lp, (gkl, gku), u = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f, g0, u_data, iters=64, block_b=2)
+        l_fused = lp.sum() / (B * (n + 1) ** 2)
+        np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gkl), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-9)
+
+    def test_unbatched_and_nonzero_g(self):
+        from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+            fused_kappa_mse_step_2d, solve_structured_pallas)
+        n = 16
+        grid = StructuredGrid.unit(n, n)
+        kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(1), (n, n),
+                                      jnp.float32)
+        f = jnp.ones((n + 1, n + 1), jnp.float32)
+        yy, xx = jnp.meshgrid(jnp.linspace(0, 1, n + 1),
+                              jnp.linspace(0, 1, n + 1), indexing="ij")
+        g = (0.3 * xx + 0.1 * yy).astype(jnp.float32)
+        u_data = solve_structured_pallas(grid, (kl, 2.0 * kl), f, g, 64, 1)
+
+        def loss(kl_):
+            u = solve_structured_pallas(grid, (kl_, 2.0 * kl), f, g, 64, 1)
+            return jnp.mean((u - 0.9 * u_data) ** 2)
+
+        _, g_ref = jax.value_and_grad(loss)(kl)
+        _, (gkl, _), _ = fused_kappa_mse_step_2d(
+            grid, (kl, 2.0 * kl), f, g, 0.9 * u_data, iters=64, block_b=1)
+        np.testing.assert_allclose(np.asarray(gkl), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-9)
