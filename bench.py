@@ -35,9 +35,10 @@ import jax.numpy as jnp
 
 BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
 N_ELEMENTS = 30
-# probe_mxu_grad 2026-08-19 (chained): MXU kernel B=1M/L=4096 -> 461M;
-# PCR kernel 206-314M; B=256k ~0.5x.  Large batch amortizes dispatch.
-BATCH = 1048576
+# Batch sweep 2026-08-19 (chained, MXU kernel, L=4096): 256k -> 205M,
+# 1M -> 461-481M, 2M -> 568M.  Large batch amortizes per-dispatch cost;
+# L in {4096..16384} is within noise.
+BATCH = 2097152
 BLOCK_LANES = 4096
 SCAN_STEPS = 30
 REPEATS = 3
@@ -61,17 +62,19 @@ def main():
                                    kappa_batched=True)
     F = assemble_load(mesh, f)
 
-    # parity gate: fused kernel grad == unfused XLA grad
+    # parity gate: fused kernel grad == unfused XLA grad.  All big arrays
+    # enter as jit ARGS — closure literals exceed the remote-compile
+    # payload limit at B=2M (HTTP 413).
     lk0 = jnp.zeros((BATCH,), dtype)
-    _, g_fused = jax.jit(lambda lk: fused_kappa_mse_step_mxu(
-        mesh, lk, F, u_data, block_lanes=BLOCK_LANES))(lk0)
+    _, g_fused = jax.jit(lambda lk, F_, ud_: fused_kappa_mse_step_mxu(
+        mesh, lk, F_, ud_, block_lanes=BLOCK_LANES))(lk0, F, u_data)
 
-    def loss_xla(lk):
-        u = solve_poisson_batched(mesh, jnp.exp(lk), f, method="tridiag",
+    def loss_xla(lk, f_, ud_):
+        u = solve_poisson_batched(mesh, jnp.exp(lk), f_, method="tridiag",
                                   kappa_batched=True)
-        return jnp.mean((u - u_data) ** 2)
+        return jnp.mean((u - ud_) ** 2)
 
-    g_ref = jax.jit(jax.grad(loss_xla))(lk0)
+    g_ref = jax.jit(jax.grad(loss_xla))(lk0, f, u_data)
     rel = float(jnp.max(jnp.abs(g_fused - g_ref))
                 / (jnp.max(jnp.abs(g_ref)) + 1e-30))
     assert rel < 1e-4, f"fused-kernel grad parity broke: rel={rel:.3e}"
