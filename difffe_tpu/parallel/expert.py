@@ -60,7 +60,9 @@ def make_dispatch(expert_ids: jax.Array, n_experts: int,
     D = (jax.nn.one_hot(jnp.clip(pos, 0, capacity - 1), capacity,
                         dtype=jnp.float32)
          * keep[..., None].astype(jnp.float32))                     # (B,E,C)
-    dropped = B - jnp.sum(D).astype(jnp.int32)
+    # keep-count in int32: summing the float32 dispatch tensor is only
+    # integer-exact up to 2^24 kept scenarios (advisor finding, round 2)
+    dropped = B - jnp.sum(keep.astype(jnp.int32))
     return D, dropped
 
 

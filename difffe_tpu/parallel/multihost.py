@@ -12,6 +12,7 @@ driver script runs everywhere.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from typing import Callable, Optional
 
@@ -49,6 +50,35 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def timed_block_until_ready(x, timeout_s: float) -> bool:
+    """Wait for ``x`` at most ``timeout_s`` seconds; True iff it completed.
+
+    ``jax.block_until_ready`` has no timeout, so a hung collective would
+    hang the caller forever.  The wait runs in a daemon thread and the
+    caller joins it with a deadline — if the device never finishes, the
+    thread is abandoned (it costs one parked OS thread) and the caller
+    gets False inside the budget, which is what lets a supervisor abort
+    and restart from the latest checkpoint.  Execution errors (device
+    failure surfacing as an exception) also return False."""
+    done = threading.Event()
+    state = {"ok": False}
+
+    def _wait():
+        try:
+            jax.block_until_ready(x)
+            state["ok"] = True
+        except Exception:
+            state["ok"] = False
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_wait, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        return False
+    return state["ok"]
+
+
 @dataclasses.dataclass
 class HealthCheck:
     """Cross-device liveness probe: a real all-reduce with a wall-clock
@@ -57,12 +87,13 @@ class HealthCheck:
     ``ping`` shard_maps a per-device token (each device contributes
     ``axis_index + 1``) and psums it over every device in the mesh, so the
     collective genuinely rendezvouses on all participants — a hung or dead
-    device stalls the psum past ``timeout_s`` and the caller can abort and
-    restart from the latest checkpoint (utils/checkpoint.py), which is the
-    failure-recovery story for long optimizations (SURVEY.md §5 'failure
-    detection / elastic recovery').  The expected sum 1+2+…+n also verifies
-    every device's *distinct* contribution arrived (tested on the virtual
-    8-device mesh)."""
+    device stalls the psum, the timed wait (``timed_block_until_ready``,
+    a watchdog thread with a deadline) returns False within ``timeout_s``,
+    and the caller can abort and restart from the latest checkpoint
+    (utils/checkpoint.py), which is the failure-recovery story for long
+    optimizations (SURVEY.md §5 'failure detection / elastic recovery').
+    The expected sum 1+2+…+n also verifies every device's *distinct*
+    contribution arrived (tested on the virtual 8-device mesh)."""
 
     timeout_s: float = 60.0
 
@@ -93,7 +124,8 @@ class HealthCheck:
 
         t0 = time.time()
         total = probe(jnp.ones(()))
-        jax.block_until_ready(total)
+        if not timed_block_until_ready(total, self.timeout_s):
+            return False  # hung or failed collective — abort inside budget
         elapsed = time.time() - t0
         expected = n * (n + 1) // 2
         return bool((total == expected).all()) and elapsed < self.timeout_s

@@ -33,7 +33,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..mesh import FEMesh
@@ -161,7 +161,7 @@ def pipelined_rollout(
     out_specs = (P(None, dp_axis), P())
     finals, cost = shard_map(
         body, mesh=dmesh, in_specs=in_specs, out_specs=out_specs,
-        check_rep=False)(u0_micro, f_chunks, M_lump, bands[0], bands[1])
+        check_vma=False)(u0_micro, f_chunks, M_lump, bands[0], bands[1])
     u_final = finals.reshape(B, n)
     if cost_fn is not None:
         return u_final, cost

@@ -46,12 +46,33 @@ def _resolve_method(mesh: FEMesh, method: str) -> str:
     return "dense" if mesh.n_nodes <= 4096 else "cg"
 
 
+def _cg_policy(mesh: FEMesh, cg_tol, cg_maxiter):
+    """Default iteration policy for the public CG surface.
+
+    Unspecified ``cg_tol`` means "converge to a dtype-appropriate relative
+    residual (1e-6 f32 / 1e-12 f64) with a capped iteration budget" — the
+    ergonomic mode: the while_loop exits as soon as the tolerance is met,
+    and the cap (≈10·√n, the O(√cond) Jacobi-PCG growth rate for Poisson)
+    prevents the old n_nodes-iteration trap (4,225 matvecs on a 64×64
+    mesh).  Production batched solves should pass ``cg_tol=0.0`` with an
+    explicit ``cg_maxiter`` — the fixed-trip-count mode where every
+    scenario runs the same schedule (golden behavior, unchanged and still
+    reachable)."""
+    if cg_tol is None:
+        cg_tol = 1e-12 if mesh.dtype == jnp.float64 else 1e-6
+    if cg_maxiter is None and cg_tol > 0.0:
+        import math
+        n = mesh.n_nodes
+        cg_maxiter = min(n, max(64, 10 * math.isqrt(n)))
+    return cg_tol, cg_maxiter
+
+
 def solve_poisson(
     mesh: FEMesh,
     kappa,
     f: jax.Array,
     method: str = "auto",
-    cg_tol: float = 0.0,
+    cg_tol: Optional[float] = None,
     cg_maxiter: Optional[int] = None,
     bc_values=None,
     neumann=None,
@@ -124,6 +145,7 @@ def solve_poisson(
                            bc_values=jnp.asarray(bc_values, mesh.dtype))
 
     if method == "cg":
+        cg_tol, cg_maxiter = _cg_policy(mesh, cg_tol, cg_maxiter)
         F = assemble_load(mesh, f)
         if neumann is not None:
             F = F + jnp.asarray(neumann, dtype=mesh.dtype)

@@ -42,6 +42,14 @@ def main():
     print(f"  final loss = {losses[-1]:.2e}")
     print(f"  max |u_nn - u_exact| = {float(jnp.max(jnp.abs(u_nn - u_exact))):.2e}")
 
+    # node-wise comparison table, as the reference demo prints
+    # (/root/reference/examples/poisson_1d_demo.py:78-86)
+    print("  node-wise comparison (every 4th node):")
+    print(f"  {'x':>8} {'u_fem':>12} {'u_nn':>12} {'u_exact':>12}")
+    for i in range(0, mesh.n_nodes, 4):
+        print(f"  {float(x[i]):8.3f} {float(u_fem[i]):12.6f} "
+              f"{float(u_nn[i]):12.6f} {float(u_exact[i]):12.6f}")
+
     # ------------------------------------------------------------- stage 3
     print("=== 3. kappa recovery (true kappa = 2.0) ===")
     mesh30 = FEMesh.line(n_elements=30)

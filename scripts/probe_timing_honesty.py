@@ -97,11 +97,6 @@ def main():
           flush=True)
 
 
-if __name__ == "__main__":
-    main()
-    scan_inside_jit()
-
-
 def scan_inside_jit():
     """The production-honest protocol: K chained steps inside ONE jit,
     timed end-to-end with a final host fetch.  One tunnel round trip,
@@ -167,3 +162,8 @@ def scan_inside_jit():
     print(f"add scan-in-jit   : {2*K*n*4/dt/1e9:9.1f} GB/s  (256MB, K={K})",
           flush=True)
     assert s == s
+
+
+if __name__ == "__main__":
+    main()
+    scan_inside_jit()

@@ -1,0 +1,57 @@
+"""Public-API CG iteration policy (VERDICT round-2 weak #7 / item 8).
+
+``solve_poisson(method='cg')`` with no cg_tol/cg_maxiter must converge to a
+dtype-appropriate tolerance with a capped iteration budget — NOT the old
+n_nodes fixed-trip default (4,225 matvecs on a 64×64 mesh).  The fixed-trip
+production mode stays reachable via explicit ``cg_tol=0.0``."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import assemble_load
+from difffe_tpu.ops.cg import cg_diagnostics
+from difffe_tpu.solver import _cg_policy, solve_poisson
+
+
+class TestCgPolicy:
+    def test_default_maxiter_capped_below_n_nodes(self):
+        mesh = FEMesh.rectangle(nx=64, ny=64)
+        tol, maxiter = _cg_policy(mesh, None, None)
+        assert tol > 0.0
+        assert maxiter < mesh.n_nodes  # 650 vs 4225
+        # explicit fixed-trip mode untouched
+        tol0, mi0 = _cg_policy(mesh, 0.0, 100)
+        assert tol0 == 0.0 and mi0 == 100
+
+    def test_default_converges_without_n_nodes_iterations(self):
+        """The ergonomic default must (a) match the dense factorization and
+        (b) exit well before the cap — i.e. the while_loop's tolerance
+        check is doing the work, not the trip count."""
+        mesh = FEMesh.rectangle(nx=32, ny=32)
+        x, y = mesh.nodes[:, 0], mesh.nodes[:, 1]
+        f = jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+        kappa = 1.3
+
+        u_cg = solve_poisson(mesh, kappa, f, method="cg")
+        u_dense = solve_poisson(mesh, kappa, f, method="dense")
+        np.testing.assert_allclose(np.asarray(u_cg), np.asarray(u_dense),
+                                   atol=1e-8)
+
+        tol, maxiter = _cg_policy(mesh, None, None)
+        F = assemble_load(mesh, f)
+        _, iters, rel = cg_diagnostics(mesh, kappa, F, tol=tol,
+                                       maxiter=maxiter)
+        assert int(iters) < maxiter, (
+            f"default policy hit the cap: {int(iters)} >= {maxiter}")
+        assert int(iters) < mesh.n_nodes
+        assert float(rel) <= tol * 1.01
+
+    def test_fixed_trip_mode_reachable(self):
+        """cg_tol=0.0 still runs exactly maxiter sweeps (golden batched
+        behavior)."""
+        mesh = FEMesh.line(n_elements=16)
+        f = jnp.ones(mesh.n_nodes)
+        F = assemble_load(mesh, f)
+        _, iters, _ = cg_diagnostics(mesh, 1.0, F, tol=0.0, maxiter=7)
+        assert int(iters) == 7
