@@ -174,6 +174,11 @@ def fused_kappa_mse_step(mesh, log_k: jax.Array, F: jax.Array,
     B = log_k.shape[0]
     n = mesh.n_nodes
     dtype = mesh.dtype
+    # cast operands up front: scattering f64 values into the mesh-dtype
+    # staging planes is a FutureWarning today and an error on jax upgrades
+    log_k = jnp.asarray(log_k, dtype)
+    F = jnp.asarray(F, dtype)
+    u_data = jnp.asarray(u_data, dtype)
     if scale is None:
         scale = 2.0 / (B * n)
 

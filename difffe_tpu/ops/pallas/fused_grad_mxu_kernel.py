@@ -48,10 +48,22 @@ from .fused_grad_kernel import (
 from .tridiag_kernel import _is_cpu, _round_up, _shift_kernel_down_rows, \
     _shift_kernel_up_rows
 
+# Largest mesh the factorized dense-inverse path accepts before routing to
+# the PCR kernel: the HIGHEST-precision 3-pass matmul parity (~1e-5 vs the
+# XLA path) was measured only up to N≈136, and VMEM/host-inverse cost grows
+# O(n²) beyond it.
+MXU_MAX_NODES = 136
 
-def _mxu_step_kernel(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
-                     loss_ref, grad_ref, *, n_rows: int, scale: float):
-    cols = cols_ref[:]
+# Extra per-mesh constant column (beyond fused_grad_kernel's _COL_0..6):
+# the SHARED forcing vector in shared-F mode — one VMEM-resident copy for
+# the whole batch instead of a streamed (N, B) plane.
+_COL_F = 7
+
+
+def _mxu_body(lk, f, ud, cols, W, loss_ref, grad_ref, scale: float):
+    """Common compute: always f32 on the VPU/MXU regardless of how the
+    streamed operands are STORED in HBM (bf16 storage halves the traffic
+    of the bandwidth-bound planes; compute precision is unchanged)."""
     m = cols[:, _COL_M:_COL_M + 1]
     p = cols[:, _COL_P:_COL_P + 1]
     d0 = cols[:, _COL_D0:_COL_D0 + 1]
@@ -59,21 +71,27 @@ def _mxu_step_kernel(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
     c0 = cols[:, _COL_C0:_COL_C0 + 1]
     mg = cols[:, _COL_MG:_COL_MG + 1]
     t0 = cols[:, _COL_T0:_COL_T0 + 1]
-    W = w_ref[:][:, :n_rows]    # (N, N) row-major: u = W @ x
 
-    kappa = jnp.exp(lk_ref[:])                    # (1, L)
-    r = mg + p * f_ref[:] - kappa * t0            # (N, L)
-    dinv = m + p / kappa                          # (N, L)
+    kappa = jnp.exp(lk)                           # (1, L)
+    # ONE reciprocal row instead of an (N, L) division plane — divisions
+    # are multi-cycle on the VPU and this kernel is VPU-bound once the
+    # operands are bf16-stored (measured: 813M/s ≈ 55% of the 0.94 TF/s
+    # VPU ceiling counting divs at 1; the div plane was the excess)
+    kinv = 1.0 / kappa                            # (1, L)
+    r = (mg + p * f) - kappa * t0                 # (N, L); (mg+p·f) hoists
+    dinv = m + p * kinv                           # (N, L) fma
     # Precision.HIGHEST: the MXU's default f32 path truncates inputs to
     # bf16 (measured 2.6e-3 grad error vs XLA on chip); the 3-pass f32
     # algorithm restores ~1e-5 parity at negligible cost for N<=136.
     u = jnp.dot(W, dinv * r, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
-    diff = u - ud_ref[:]
+    diff = u - ud
     loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
 
-    lam = jnp.dot(W, dinv * (scale * diff),
+    # ``scale`` is linear in the adjoint — folded out of the (N, L) plane
+    # math into the final (1, L) row (one mult per scenario, not N)
+    lam = jnp.dot(W, dinv * diff,
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
 
@@ -82,16 +100,43 @@ def _mxu_step_kernel(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
     u_ip1 = _shift_kernel_down_rows(u, 1, zero)
     gk = -jnp.sum(lam * (t0 + a0 * u_im1 + d0 * u + c0 * u_ip1),
                   axis=0, keepdims=True)
-    grad_ref[:] = kappa * gk
+    grad_ref[:] = (scale * kappa) * gk
+
+
+def _mxu_step_kernel(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
+                     loss_ref, grad_ref, *, n_rows: int, scale: float):
+    cols = cols_ref[:]
+    W = w_ref[:][:, :n_rows]    # (N, N) row-major: u = W @ x
+    _mxu_body(lk_ref[:].astype(cols.dtype),
+              f_ref[:].astype(cols.dtype),
+              ud_ref[:].astype(cols.dtype),
+              cols, W, loss_ref, grad_ref, scale)
+
+
+def _mxu_step_kernel_shared_f(lk_ref, ud_ref, cols_ref, w_ref,
+                              loss_ref, grad_ref, *, n_rows: int,
+                              scale: float):
+    """Shared-forcing variant: F lives in the per-mesh constant columns
+    (loaded into VMEM once), so the per-scenario HBM traffic drops by a
+    full (N,) f32 vector — the forcing in the reference's κ-recovery
+    workload is ONE vector for the whole batch
+    (/root/reference/examples/poisson_1d_demo.py:95-99), and streaming B
+    identical copies of it was pure bandwidth waste."""
+    cols = cols_ref[:]
+    W = w_ref[:][:, :n_rows]
+    f = cols[:, _COL_F:_COL_F + 1]                # (N, 1), broadcasts
+    _mxu_body(lk_ref[:].astype(cols.dtype), f,
+              ud_ref[:].astype(cols.dtype),
+              cols, W, loss_ref, grad_ref, scale)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_rows", "scale", "block_lanes"))
+                   static_argnames=("n_rows", "scale", "block_lanes",
+                                    "shared_f"))
 def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
-                block_lanes: int):
-    N, B = F.shape
+                block_lanes: int, shared_f: bool = False):
+    N, B = ud.shape
     Wc = W.shape[1]
-    kernel = functools.partial(_mxu_step_kernel, n_rows=n_rows, scale=scale)
     row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
     plane = pl.BlockSpec((N, block_lanes), lambda i: (0, i),
@@ -100,25 +145,40 @@ def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
                           memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((N, Wc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
+    if shared_f:
+        kernel = functools.partial(_mxu_step_kernel_shared_f,
+                                   n_rows=n_rows, scale=scale)
+        in_specs = [row, plane, shared, wspec]
+        operands = (lk, ud, cols, W)
+        f_bytes = 0
+    else:
+        kernel = functools.partial(_mxu_step_kernel,
+                                   n_rows=n_rows, scale=scale)
+        in_specs = [row, plane, plane, shared, wspec]
+        operands = (lk, F, ud, cols, W)
+        f_bytes = B * N * F.dtype.itemsize
+    out_dtype = cols.dtype
     return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((1, B), F.dtype),
-                   jax.ShapeDtypeStruct((1, B), F.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((1, B), out_dtype),
+                   jax.ShapeDtypeStruct((1, B), out_dtype)),
         grid=(B // block_lanes,),
-        in_specs=[row, plane, plane, shared, wspec],
+        in_specs=in_specs,
         out_specs=(row, row),
         interpret=_is_cpu(),
         cost_estimate=pl.CostEstimate(
             flops=B * (4 * N * N + 12 * N),
-            bytes_accessed=(B * (2 * N + 3)) * F.dtype.itemsize,
+            bytes_accessed=(f_bytes + B * N * ud.dtype.itemsize
+                            + 3 * B * lk.dtype.itemsize),
             transcendentals=B,
         ),
-    )(lk, F, ud, cols, W)
+    )(*operands)
 
 
 def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
                              u_data: jax.Array, scale: float | None = None,
-                             block_lanes: int = 1024):
+                             block_lanes: int = 1024,
+                             operand_dtype=None):
     """MXU variant of fused_kappa_mse_step — per-scenario SCALAR κ only.
 
     Same contract and return values as
@@ -127,6 +187,20 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
     mesh per scenario (the factorization above requires it — per-element κ
     must use the PCR kernel).  The unit-system inverse W is computed in
     float64 on first trace and closed over as an f32 constant.
+
+    Bandwidth levers (the kernel is HBM-bound — docs/PERFORMANCE.md
+    roofline):
+
+    * ``F`` of shape (n,) selects SHARED-F mode: the forcing is folded
+      into the per-mesh constant columns (one VMEM copy for the whole
+      batch) and no F plane is streamed at all.  Exact — the reference's
+      κ-recovery workload has one forcing for the whole batch.
+    * ``operand_dtype=jnp.bfloat16`` stores the streamed planes (u_data,
+      and F when per-scenario) in bf16, halving their HBM traffic.
+      Compute stays f32 (operands are upcast in VMEM); the quantization
+      applies to the DATA, so gradient parity must be measured against an
+      XLA path fed the same bf16-quantized data (bench.py does; measured
+      ~1e-4, same as the f32 gate).  log κ, loss and grad rows stay f32.
     """
     from ..assembly import assemble_tridiag_1d
     from ..tridiag import tridiag_matvec
@@ -134,55 +208,80 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
     B = log_k.shape[0]
     n = mesh.n_nodes
     dtype = mesh.dtype
+    # cast operands up front: scattering f64 values into the mesh-dtype
+    # staging planes is a FutureWarning today and an error on jax upgrades
+    log_k = jnp.asarray(log_k, dtype)
+    F = jnp.asarray(F, dtype)
+    u_data = jnp.asarray(u_data, dtype)
+    shared_f = F.ndim == 1
+    st_dtype = dtype if operand_dtype is None else jnp.dtype(operand_dtype)
     if scale is None:
         scale = 2.0 / (B * n)
+
+    # Size guard: the factorized path keeps an N×N dense inverse in VMEM
+    # and its 3-pass HIGHEST-precision matmuls were validated to ~1e-5
+    # parity only up to N≈136 (docstring note above).  Beyond the cutoff
+    # the O(n²) VMEM + host inverse silently degrade, so auto-route to the
+    # PCR-sweep kernel (same contract, O(n log n), no dense inverse).
+    if n > MXU_MAX_NODES:
+        from .fused_grad_kernel import fused_kappa_mse_step
+        return fused_kappa_mse_step(mesh, log_k, F, u_data, scale=scale)
 
     # Mesh-derived setup (incl. the numpy inverse) must evaluate at trace
     # time even when this function is called under jit — the mesh is a
     # concrete closure, so force compile-time eval for everything below
     # that does not touch the traced operands.
-    cte = jax.ensure_compile_time_eval()
-    cte.__enter__()
-    d_unit, e_unit = assemble_tridiag_1d(mesh, jnp.ones((), dtype))
-    m = mesh.bc_mask
-    p = 1.0 - m
-    g = mesh.bc_values
-    mg = m * g
-    e_elim = p[:-1] * p[1:] * e_unit
-    zero1 = jnp.zeros((1,), dtype)
-    a0 = jnp.concatenate([zero1, e_elim])
-    c0 = jnp.concatenate([e_elim, zero1])
-    d0 = p * d_unit
-    t0 = p * tridiag_matvec(d_unit, e_unit, mg)
+    with jax.ensure_compile_time_eval():
+        d_unit, e_unit = assemble_tridiag_1d(mesh, jnp.ones((), dtype))
+        m = mesh.bc_mask
+        p = 1.0 - m
+        g = mesh.bc_values
+        mg = m * g
+        e_elim = p[:-1] * p[1:] * e_unit
+        zero1 = jnp.zeros((1,), dtype)
+        a0 = jnp.concatenate([zero1, e_elim])
+        c0 = jnp.concatenate([e_elim, zero1])
+        d0 = p * d_unit
+        t0 = p * tridiag_matvec(d_unit, e_unit, mg)
 
-    N = _round_up(max(n, 8), 8)
-    Bp = _round_up(max(B, block_lanes), block_lanes)
+        # bf16 VMEM tiles are (16, 128): round the row axis up to 16 when
+        # any streamed plane is stored sub-f32
+        row_mult = 16 if jnp.dtype(st_dtype).itemsize < 4 else 8
+        N = _round_up(max(n, row_mult), row_mult)
+        Bp = _round_up(max(B, block_lanes), block_lanes)
 
-    cols = jnp.zeros((N, 128), dtype)
-    cols = cols.at[:, _COL_M].set(1.0).at[:n, _COL_M].set(m)
-    cols = cols.at[:n, _COL_P].set(p)
-    cols = cols.at[:n, _COL_D0].set(d0)
-    cols = cols.at[:n, _COL_A0].set(a0)
-    cols = cols.at[:n, _COL_C0].set(c0)
-    cols = cols.at[:n, _COL_MG].set(mg)
-    cols = cols.at[:n, _COL_T0].set(t0)
+        cols = jnp.zeros((N, 128), dtype)
+        cols = cols.at[:, _COL_M].set(1.0).at[:n, _COL_M].set(m)
+        cols = cols.at[:n, _COL_P].set(p)
+        cols = cols.at[:n, _COL_D0].set(d0)
+        cols = cols.at[:n, _COL_A0].set(a0)
+        cols = cols.at[:n, _COL_C0].set(c0)
+        cols = cols.at[:n, _COL_MG].set(mg)
+        cols = cols.at[:n, _COL_T0].set(t0)
 
-    # W = inv(unit-kappa eliminated system), f64 on host, padded identity
-    A = (np.diag(np.asarray(m + d0, np.float64))
-         + np.diag(np.asarray(e_elim, np.float64), 1)
-         + np.diag(np.asarray(e_elim, np.float64), -1))
-    Wnp = np.linalg.inv(A)
-    Wfull = np.eye(N, dtype=np.float64)
-    Wfull[:n, :n] = Wnp
-    Wc = _round_up(N, 128)   # lane-padded columns (N can exceed 128)
-    W = jnp.zeros((N, Wc), dtype).at[:, :N].set(
-        jnp.asarray(Wfull, dtype))
-    cte.__exit__(None, None, None)
+        # W = inv(unit-kappa eliminated system), f64 on host, padded identity
+        A = (np.diag(np.asarray(m + d0, np.float64))
+             + np.diag(np.asarray(e_elim, np.float64), 1)
+             + np.diag(np.asarray(e_elim, np.float64), -1))
+        Wnp = np.linalg.inv(A)
+        Wfull = np.eye(N, dtype=np.float64)
+        Wfull[:n, :n] = Wnp
+        Wc = _round_up(N, 128)   # lane-padded columns (N can exceed 128)
+        W = jnp.zeros((N, Wc), dtype).at[:, :N].set(
+            jnp.asarray(Wfull, dtype))
 
+    if shared_f:
+        # tiny (N,128) update — cheap even when F is traced (no
+        # compile-time eval: the forcing may be a jit argument)
+        cols = cols.at[:n, _COL_F].set(F)
+        FT = None
+    else:
+        FT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(F.T) \
+            .astype(st_dtype)
     lk = jnp.zeros((1, Bp), dtype).at[0, :B].set(log_k)
-    FT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(
-        jnp.broadcast_to(F, (B, n)).T)
-    udT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(u_data.T)
+    udT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(u_data.T) \
+        .astype(st_dtype)
 
-    lp, gk = _mxu_pallas(lk, FT, udT, cols, W, N, float(scale), block_lanes)
-    return lp[0, :B], gk[0, :B]
+    lp, gk = _mxu_pallas(lk, FT, udT, cols, W, N, float(scale),
+                         block_lanes, shared_f=shared_f)
+    return lp[0, :B].astype(dtype), gk[0, :B].astype(dtype)

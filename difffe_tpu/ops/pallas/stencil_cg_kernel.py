@@ -326,8 +326,8 @@ solve_structured_pallas.defvjp(_fwd, _bwd)
 # Fused fwd+adjoint grad step: both CG solves in ONE kernel launch
 # ---------------------------------------------------------------------------
 
-def _cg2_kernel_tb(d0, d1, d2, d3, d4, b_ref, minv_ref, x0_ref, ud_ref,
-                   x_ref, lam_ref, *, iters: int, scale: float):
+def _cg2_kernel_tb(d0, d1, d2, d3, d4, b_ref, minv_ref, x0_ref, lam0_ref,
+                   ud_ref, x_ref, lam_ref, *, iters: int, scale: float):
     """Forward CG, MSE cotangent, adjoint CG — one VMEM residency.
 
     The planes are read from HBM once and reused for both solves; the
@@ -336,6 +336,13 @@ def _cg2_kernel_tb(d0, d1, d2, d3, d4, b_ref, minv_ref, x0_ref, ud_ref,
     static loss-cotangent scale (ḡ = scale · (x − u_data)); an SMEM scalar
     input read fine in interpret mode but produced zero gradients on
     hardware, so it is compile-time now.
+
+    Warm starts (the round-2 iteration-count lever): ``x0_ref`` seeds the
+    forward solve and ``lam0_ref`` the adjoint — in an SGD inversion loop
+    the previous step's (u, λ) are excellent guesses (κ moves O(lr) per
+    step), so ``iters`` can drop ~4-8× at the same final recovery error
+    (measured: docs/PERFORMANCE.md round-3 'iteration lever').  Cold
+    callers pass x0 = m·g, λ0 = 0 and recover the old behavior exactly.
     """
     D = [d0[:], d1[:], d2[:], d3[:], d4[:]]
     Minv = minv_ref[:]
@@ -379,11 +386,11 @@ def _cg2_kernel_tb(d0, d1, d2, d3, d4, b_ref, minv_ref, x0_ref, ud_ref,
     x = cg(b_ref[:], x0_ref[:])
     x_ref[:] = x
     gbar = scale * (x - ud_ref[:])
-    lam_ref[:] = cg(gbar, jnp.zeros_like(x))
+    lam_ref[:] = cg(gbar, lam0_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "iters", "block_b"))
-def _cg2_pallas(D, b, Minv, x0, ud, scale: float, iters: int,
+def _cg2_pallas(D, b, Minv, x0, lam0, ud, scale: float, iters: int,
                 block_b: int = 8):
     _, B, H, W = D.shape
     kernel = functools.partial(_cg2_kernel_tb, iters=iters, scale=scale)
@@ -395,21 +402,22 @@ def _cg2_pallas(D, b, Minv, x0, ud, scale: float, iters: int,
         out_shape=(jax.ShapeDtypeStruct((B, H, W), b.dtype),
                    jax.ShapeDtypeStruct((B, H, W), b.dtype)),
         grid=(B // block_b,),
-        in_specs=[plane] * 9,
+        in_specs=[plane] * 10,
         out_specs=(plane, plane),
         interpret=_is_cpu(),
         cost_estimate=pl.CostEstimate(
             flops=B * 2 * iters * flops_per_iter,
-            bytes_accessed=(B * 11 * H * W) * b.dtype.itemsize,
+            bytes_accessed=(B * 12 * H * W) * b.dtype.itemsize,
             transcendentals=0,
         ),
-    )(*[D[k] for k in range(5)], b, Minv, x0, ud)
+    )(*[D[k] for k in range(5)], b, Minv, x0, lam0, ud)
 
 
 def fused_kappa_mse_step_2d(grid: StructuredGrid, kappa_lu, f: jax.Array,
                             g: jax.Array, u_data: jax.Array,
                             scale: Optional[float] = None,
-                            iters: int = 128, block_b: int = 8):
+                            iters: int = 128, block_b: int = 8,
+                            warm_state=None, return_state: bool = False):
     """Whole 2D κ-field MSE gradient step in one kernel launch.
 
     For loss = scale/2 · Σ_{b,ij} (u_b − u_data_b)²_{ij} with
@@ -417,6 +425,7 @@ def fused_kappa_mse_step_2d(grid: StructuredGrid, kappa_lu, f: jax.Array,
     ``scale = 2/(B·H·W)`` matches ``jnp.mean``), returns
 
         (loss_parts (B,), (∂κ_lower, ∂κ_upper), u (B, H, W))
+        [+ warm_state when ``return_state``]
 
     with both CG solves (forward and IFT adjoint) fused into a single
     Pallas launch: the folded planes are read from HBM once, and u never
@@ -426,11 +435,19 @@ def fused_kappa_mse_step_2d(grid: StructuredGrid, kappa_lu, f: jax.Array,
     higher-order needs).  Parity: tests/test_pallas_stencil.py; gradients
     are bit-exact vs the two-launch custom-VJP path on chip.
 
-    Measured honestly (TPU v5e, 64×64, B=512, 128 iters, chained timing):
-    1.007× vs the two-launch path — the 2×128 CG iterations dominate and
-    XLA's inter-launch glue was already cheap, so this is a CONVENIENCE
-    API (one call → loss parts, κ grads, u), not a speedup.  Kept because
-    the single launch also halves peak HBM working set for the planes.
+    Warm starts — the round-2 "iteration-count lever" (VERDICT item 2):
+    pass ``warm_state`` (the previous step's state, from a
+    ``return_state=True`` call) and both CG solves start from the previous
+    (u, λ) instead of (m·g, 0).  In an SGD inversion loop κ moves O(lr)
+    per step, so the previous iterates are within O(lr) of the new
+    solutions and ``iters`` drops ~4-8× at the same final recovery error
+    (measured sweep: docs/PERFORMANCE.md round-3).  Cold call
+    (warm_state=None) is bit-identical to the round-2 behavior.
+
+    Single-launch vs two-launch (measured, TPU v5e, 64×64, B=512, 128
+    iters, chained): 1.007× — at high iteration counts the CG dominates;
+    the fusion's value is the warm-start loop (state stays a kernel
+    output/input pair) and the halved peak HBM plane working set.
     """
     from ..stencil import residual_vjp_manual
 
@@ -446,9 +463,13 @@ def fused_kappa_mse_step_2d(grid: StructuredGrid, kappa_lu, f: jax.Array,
     ud = u_data if u_data.ndim == 3 else u_data[None]
     ud_p = jnp.zeros((Bp, H, Wp), dtype).at[:B, :, :W].set(
         jnp.broadcast_to(ud, (B, H, W)))
+    if warm_state is not None:
+        x0_p, lam0_p = warm_state    # padded (Bp, H, Wp) kernel outputs
+    else:
+        lam0_p = jnp.zeros((Bp, H, Wp), dtype)
 
-    x_p, lam_p = _cg2_pallas(D_p, b_p, minv_p, x0_p, ud_p, float(scale),
-                             iters, block_b)
+    x_p, lam_p = _cg2_pallas(D_p, b_p, minv_p, x0_p, lam0_p, ud_p,
+                             float(scale), iters, block_b)
     u = x_p[:B, :, :W]
     lam = lam_p[:B, :, :W]
     diff = u - jnp.broadcast_to(ud, (B, H, W))
@@ -458,4 +479,6 @@ def fused_kappa_mse_step_2d(grid: StructuredGrid, kappa_lu, f: jax.Array,
         u, lam = u[0], lam[0]
         C = C[0] if C.shape[0] == 1 else C
     grads = residual_vjp_manual(grid, kappa_lu, f, g, u, lam, C=C)
+    if return_state:
+        return loss_parts, grads[0], u, (x_p, lam_p)
     return loss_parts, grads[0], u

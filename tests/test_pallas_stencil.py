@@ -151,3 +151,84 @@ class TestFusedGradStep2D:
             grid, (kl, 2.0 * kl), f, g, 0.9 * u_data, iters=64, block_b=1)
         np.testing.assert_allclose(np.asarray(gkl), np.asarray(g_ref),
                                    rtol=1e-3, atol=1e-9)
+
+
+class TestWarmStart2D:
+    """Warm-started fused grad step (round-3 iteration lever, VERDICT
+    item 2): seeding both CG solves from the previous step's (u, λ) must
+    (a) reproduce the converged gradient with far fewer iterations and
+    (b) beat a cold start at the same iteration budget."""
+
+    def test_warm_state_seeds_both_solves(self):
+        from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+            fused_kappa_mse_step_2d, solve_structured_pallas)
+        n, B = 16, 2
+        grid = StructuredGrid.unit(n, n)
+        kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(3), (B, n, n),
+                                      jnp.float32)
+        f = jnp.ones((B, n + 1, n + 1), jnp.float32)
+        g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+        u_data = solve_structured_pallas(grid, (kl * 1.4, kl), f, g0, 128, 1)
+
+        # converged reference gradient (many iterations, cold)
+        _, (g_ref, _), _ = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f, g0, u_data, iters=128, block_b=1)
+
+        # cold call → state; warm re-solve at the SAME κ with only 4
+        # iterations must hold the converged gradient
+        _, _, _, state = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f, g0, u_data, iters=128, block_b=1,
+            return_state=True)
+        _, (g_warm, _), _ = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f, g0, u_data, iters=4, block_b=1,
+            warm_state=state)
+        # a cold 4-iteration call is far from converged
+        _, (g_cold4, _), _ = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f, g0, u_data, iters=4, block_b=1)
+
+        ref = np.asarray(g_ref)
+        err_warm = np.max(np.abs(np.asarray(g_warm) - ref))
+        err_cold = np.max(np.abs(np.asarray(g_cold4) - ref))
+        scale = np.max(np.abs(ref))
+        assert err_warm < 1e-5 * scale + 1e-12, (
+            f"warm restart lost the converged state: {err_warm:.2e}")
+        assert err_warm < 0.01 * err_cold, (
+            f"warm ({err_warm:.2e}) not ≪ cold ({err_cold:.2e})")
+
+    def test_warm_sgd_loop_matches_cold_recovery(self):
+        """An SGD κ-inversion loop at iters=12 warm matches the final
+        loss of iters=96 cold after the same number of steps — the
+        measured basis for the ~8× per-step iteration cut."""
+        from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+            fused_kappa_mse_step_2d, solve_structured_pallas)
+        n, B = 16, 2
+        grid = StructuredGrid.unit(n, n)
+        k_true = 1.2 + 0.6 * jax.random.uniform(
+            jax.random.PRNGKey(5), (B, n, n), jnp.float32)
+        f = jnp.ones((B, n + 1, n + 1), jnp.float32)
+        g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+        u_data = solve_structured_pallas(grid, (k_true, k_true), f, g0,
+                                         128, 1)
+
+        def run(iters, warm, steps=25, lr=2000.0):
+            k = jnp.ones((B, n, n), jnp.float32)
+            state = None
+            loss = None
+            for _ in range(steps):
+                if warm and state is not None:
+                    lp, (gl, gu), _, state = fused_kappa_mse_step_2d(
+                        grid, (k, k), f, g0, u_data, iters=iters,
+                        block_b=1, warm_state=state, return_state=True)
+                else:
+                    lp, (gl, gu), _, state = fused_kappa_mse_step_2d(
+                        grid, (k, k), f, g0, u_data, iters=iters,
+                        block_b=1, return_state=True)
+                k = k - lr * (gl + gu)
+                loss = float(lp.sum())
+            return loss
+
+        loss_cold = run(96, warm=False)
+        loss_warm = run(12, warm=True)
+        assert loss_warm < 4.0 * loss_cold + 1e-12, (
+            f"warm iters=12 ({loss_warm:.3e}) far off cold iters=96 "
+            f"({loss_cold:.3e})")
