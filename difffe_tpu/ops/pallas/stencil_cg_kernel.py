@@ -482,3 +482,100 @@ def fused_kappa_mse_step_2d(grid: StructuredGrid, kappa_lu, f: jax.Array,
     if return_state:
         return loss_parts, grads[0], u, (x_p, lam_p)
     return loss_parts, grads[0], u
+
+
+# ---------------------------------------------------------------------------
+# Two-launch grad step + VMEM-aware auto dispatch (the >128² scale story)
+# ---------------------------------------------------------------------------
+
+def _vmem_bytes_fused(H: int, W: int, block_b: int, itemsize: int) -> int:
+    """Estimated VMEM residency of the one-launch fused kernel: 10 input +
+    2 output (block_b, H, Wp) planes plus ~5 live temporaries (x, r, p,
+    z/Ap, gbar)."""
+    Wp = _round_up(W, 128)
+    plane = block_b * H * Wp * itemsize
+    return 17 * plane
+
+
+def _vmem_bytes_solve(H: int, W: int, block_b: int, itemsize: int) -> int:
+    """Same estimate for the plain solve kernel: 8 inputs + 1 output +
+    ~5 temporaries."""
+    Wp = _round_up(W, 128)
+    plane = block_b * H * Wp * itemsize
+    return 14 * plane
+
+
+#: VMEM budget the estimates are checked against, CALIBRATED to the
+#: measured compile boundary (scripts/probe_2d_scale.py, 2026-08-20, TPU
+#: v5e): the fused 12-plane kernel compiles at 257×384 planes (256² grid,
+#: estimate 6.7 MB) and fails Mosaic compile at 513×640 (512², estimate
+#: 22.3 MB); the plain 9-plane solve kernel still compiles at 513×640
+#: (estimate 18.4 MB).  20 MB sits between the measured pass/fail points.
+_VMEM_BUDGET = 20 * 1024 * 1024
+
+
+def choose_2d_path(grid: StructuredGrid, block_b: int = 1,
+                   itemsize: int = 4) -> str:
+    """Pick the production grad-step implementation for this grid size.
+
+    Returns 'fused' (one-launch fwd+adjoint kernel), 'two_launch' (two
+    solve-kernel launches sharing prepared planes — fits where the fused
+    kernel's 12-plane working set blows VMEM), or 'xla' (HBM-resident
+    ops/stencil.py path for grids past any whole-CG kernel's VMEM)."""
+    H, W = grid.node_shape
+    if _vmem_bytes_fused(H, W, block_b, itemsize) <= _VMEM_BUDGET:
+        return "fused"
+    if _vmem_bytes_solve(H, W, block_b, itemsize) <= _VMEM_BUDGET:
+        return "two_launch"
+    return "xla"
+
+
+def kappa_mse_step_2d_two_launch(grid: StructuredGrid, kappa_lu,
+                                 f: jax.Array, g: jax.Array,
+                                 u_data: jax.Array,
+                                 scale: Optional[float] = None,
+                                 iters: int = 128, block_b: int = 1,
+                                 warm_state=None,
+                                 return_state: bool = False):
+    """``fused_kappa_mse_step_2d`` semantics via TWO solve-kernel launches.
+
+    The one-launch fused kernel holds 12 (block_b, H, Wp) planes in VMEM
+    and stops compiling at 512² (measured: scripts/probe_2d_scale.py);
+    the plain 9-plane solve kernel still fits there, so this variant runs
+    forward and adjoint as separate launches over the SAME prepared
+    planes (assembled once).  Identical outputs and warm-start contract
+    (state = padded (x_p, lam_p) kernel outputs); use ``choose_2d_path``
+    to dispatch.
+    """
+    from ..stencil import residual_vjp_manual
+
+    kl, ku = kappa_lu
+    batched = jnp.ndim(kl) == 3 or f.ndim == 3
+    C, D_p, b_p, minv_p, x0_p, B, W = _prepare(grid, kappa_lu, f, g,
+                                               block_b=block_b)
+    H = grid.node_shape[0]
+    Bp, _, Wp = minv_p.shape
+    dtype = b_p.dtype
+    if scale is None:
+        scale = 2.0 / (B * H * W)
+    ud = u_data if u_data.ndim == 3 else u_data[None]
+    if warm_state is not None:
+        x0_p, lam0_p = warm_state
+    else:
+        lam0_p = jnp.zeros((Bp, H, Wp), dtype)
+
+    x_p = _cg_pallas(D_p, b_p, minv_p, x0_p, iters, block_b)
+    u = x_p[:B, :, :W]
+    diff = u - jnp.broadcast_to(ud, (B, H, W))
+    gbar_p = jnp.zeros((Bp, H, Wp), dtype).at[:B, :, :W].set(scale * diff)
+    lam_p = _cg_pallas(D_p, gbar_p, minv_p, lam0_p, iters, block_b)
+    lam = lam_p[:B, :, :W]
+    loss_parts = jnp.sum(diff * diff, axis=(1, 2))
+
+    if not batched and u.shape[0] == 1:
+        u, lam = u[0], lam[0]
+        C = C[0] if C.shape[0] == 1 else C
+    grads = residual_vjp_manual(grid, kappa_lu, f, g, u, lam, C=C)
+    if return_state:
+        return loss_parts, grads[0], u, (x_p, lam_p)
+    return loss_parts, grads[0], u

@@ -1,0 +1,181 @@
+"""Gather-only (ELLPACK) matrix-free operator for arbitrary P1
+triangulations — the TPU-native unstructured path.
+
+The general unstructured apply (ops/assembly.py:element_apply) is
+element-centric: gather element DOFs, apply local blocks, SCATTER-ADD
+back.  XLA lowers the scatter-add to a serialized per-index update on
+TPU, and it runs inside every CG iteration — measured at 4k DOF it is
+the entire bottleneck (scripts/probe_unstructured.py).
+
+This module re-lays the SAME operator node-centrically, in pull form:
+
+    (K u)[i] = Σ_{(e,p): elems[e,p]=i} κ_e Σ_q G_e[p,q] · u[elems[e,q]]
+
+The incidence sets {(e,p)} are static mesh topology, so everything
+except κ and u is precomputed once per mesh into fixed-width
+(max-incidence-padded) tables:
+
+    inc_elem[i,d]   — d-th element incident to node i     (n, D)
+    wgeo[i,d,q]     — G_{inc_elem[i,d]}[inc_p[i,d], q]    (n, D, k)
+    j[i,d,q]        — elems[inc_elem[i,d], q]             (n, D, k)
+
+and the hot-loop matvec becomes two gathers + one contraction:
+
+    out = Σ_d κ[inc_elem] · Σ_q wgeo[:,:,q] · u[j[:,:,q]]
+
+NO scatter anywhere in the CG iteration.  Padding slots carry wgeo = 0
+(indices 0), so they contribute exactly zero.  D is the max node
+incidence (≤ 8 for reasonable triangulations; structured-as-unstructured
+rectangles have D = 6).
+
+The per-element-κ gradient needs one scatter per GRAD STEP (the
+transpose of the κ gather inside the residual-map VJP), not per
+iteration — that is the whole point.
+
+Reference counterpart: the arbitrary-connectivity data model of
+/root/reference/diffhe/mesh.py:30-39 with the dense assembly of
+solver.py:104-147; here the connectivity is compiled to gather tables
+instead of a matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import FEMesh
+from .assembly import kappa_on_elements, local_stiffness
+from .pcg import pcg
+from .solve import apply_dirichlet_operator, dirichlet_rhs
+
+
+class ELL(NamedTuple):
+    """Static gather tables for one mesh (see module docstring)."""
+    inc_elem: jax.Array       # (n, D) int32 — element index, 0-padded
+    wgeo: jax.Array           # (n, D, k) — unit-κ local-row weights, 0-padded
+    j: jax.Array              # (n, D, k) int32 — column node ids, 0-padded
+    wdiag: jax.Array          # (n, D) — unit-κ diagonal weights, 0-padded
+
+
+def build_ell(mesh: FEMesh) -> ELL:
+    """Precompute the gather tables (host-side, once per mesh).
+
+    ``wgeo`` uses unit κ: the κ-dependence is re-attached per apply via a
+    (n, D) gather of per-element κ, so one ELL serves every κ (and every
+    scenario of a batch)."""
+    elems = np.asarray(mesh.elements)                     # (ne, k)
+    ne, k = elems.shape
+    n = mesh.n_nodes
+    ones = jnp.ones((ne,), mesh.dtype)
+    G = np.asarray(local_stiffness(mesh, ones))           # (ne, k, k), κ=1
+
+    counts = np.zeros(n, np.int64)
+    np.add.at(counts, elems.reshape(-1), 1)
+    D = int(counts.max())
+
+    inc_elem = np.zeros((n, D), np.int32)
+    inc_p = np.zeros((n, D), np.int32)
+    fill = np.zeros(n, np.int64)
+    for e in range(ne):
+        for p in range(k):
+            i = elems[e, p]
+            d = fill[i]
+            inc_elem[i, d] = e
+            inc_p[i, d] = p
+            fill[i] += 1
+
+    wgeo = G[inc_elem, inc_p, :]                          # (n, D, k)
+    # zero the padded slots (slots past fill[i])
+    pad = np.arange(D)[None, :] >= fill[:, None]
+    wgeo[pad] = 0.0
+    jcols = elems[inc_elem, :].astype(np.int32)           # (n, D, k)
+    jcols[pad] = 0
+    wdiag = G[inc_elem, inc_p, inc_p]                     # (n, D)
+    wdiag[pad] = 0.0
+    return ELL(jnp.asarray(inc_elem), jnp.asarray(wgeo, mesh.dtype),
+               jnp.asarray(jcols), jnp.asarray(wdiag, mesh.dtype))
+
+
+def ell_apply(mesh: FEMesh, ell: ELL, kappa, u: jax.Array) -> jax.Array:
+    """K·u by gathers only; u: (..., n) → (..., n).  Exactly equal to
+    element_apply with the same κ (tests/test_unstructured.py)."""
+    ke = kappa_on_elements(mesh, kappa)                   # (ne,)
+    keg = ke[..., ell.inc_elem]                           # (..., n, D)
+    ug = u[..., ell.j]                                    # (..., n, D, k)
+    s = jnp.einsum("ndq,...ndq->...nd", ell.wgeo, ug)
+    return jnp.sum(keg * s, axis=-1)
+
+
+def ell_diag(mesh: FEMesh, ell: ELL, kappa) -> jax.Array:
+    """diag(K) for the Jacobi preconditioner — gathers only."""
+    ke = kappa_on_elements(mesh, kappa)
+    return jnp.sum(ke[..., ell.inc_elem] * ell.wdiag, axis=-1)
+
+
+def _operator(mesh, ell, kappa, v):
+    return apply_dirichlet_operator(
+        mesh, lambda w: ell_apply(mesh, ell, kappa, w), v)
+
+
+def _jacobi(mesh, ell, kappa):
+    m = mesh.bc_mask
+    diagA = m + (1.0 - m) * ell_diag(mesh, ell, kappa)
+    return 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+
+
+def _ell_impl(mesh, ell, kappa, F, tol, maxiter):
+    maxiter = maxiter if maxiter is not None else mesh.n_nodes
+    b = dirichlet_rhs(mesh, lambda w: ell_apply(mesh, ell, kappa, w), F)
+    Minv = _jacobi(mesh, ell, kappa)
+    x0 = mesh.bc_mask * mesh.bc_values
+    return pcg(lambda v: _operator(mesh, ell, kappa, v), b,
+               lambda r: Minv * r, jnp.broadcast_to(x0, b.shape),
+               tol, maxiter)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def solve_poisson_cg_ell(mesh: FEMesh, ell: ELL, kappa, F: jax.Array,
+                         tol: float = 0.0,
+                         maxiter: Optional[int] = None) -> jax.Array:
+    """Matrix-free Jacobi-PCG Poisson solve on the gather-only operator.
+
+    Same semantics, IFT adjoint, and fixed-trip ``tol=0`` batched mode as
+    ops/cg.py:solve_poisson_cg, with the scatter-free ELL matvec in both
+    the forward and adjoint loops.  ``ell = build_ell(mesh)`` once;
+    gradients flow to κ and F (geometry is baked into the host-built
+    tables — use solve_poisson_cg when you need ∂/∂nodes)."""
+    return _ell_impl(mesh, ell, kappa, F, tol, maxiter)
+
+
+def _ell_fwd(mesh, ell, kappa, F, tol, maxiter):
+    u = _ell_impl(mesh, ell, kappa, F, tol, maxiter)
+    return u, (mesh, ell, kappa, F, u)
+
+
+def _ell_bwd(tol, maxiter, res, g):
+    mesh, ell, kappa, F, u = res
+    maxit = maxiter if maxiter is not None else mesh.n_nodes
+    Minv = _jacobi(mesh, ell, kappa)
+    lam = pcg(lambda v: _operator(mesh, ell, kappa, v), g,
+              lambda r: Minv * r, jnp.zeros_like(g), tol, maxit)
+
+    # Residual map at fixed u — the ONE place a scatter appears (the
+    # transpose of the κ/F gathers), once per grad step.
+    def residual(mesh_, ell_, kappa_, F_):
+        u_fixed = jax.lax.stop_gradient(u)
+        return (dirichlet_rhs(mesh_,
+                              lambda w: ell_apply(mesh_, ell_, kappa_, w),
+                              F_)
+                - apply_dirichlet_operator(
+                    mesh_, lambda w: ell_apply(mesh_, ell_, kappa_, w),
+                    u_fixed))
+
+    _, vjp = jax.vjp(residual, mesh, ell, kappa, F)
+    return vjp(lam)
+
+
+solve_poisson_cg_ell.defvjp(_ell_fwd, _ell_bwd)

@@ -1,0 +1,110 @@
+"""TPU probe: 2D whole-CG kernel beyond 128^2 (VERDICT round-2 missing #3).
+
+Measures fwd and fused fwd+adjoint grad-step rates at 128^2 / 256^2 /
+512^2 with warm-started modest per-step iteration counts (the production
+SGD mode measured in probe_2d_warm.py), and records where the
+VMEM-resident f32 kernel stops compiling — the design boundary the bf16
+variant and the XLA fallback cover.
+
+Run:  python scripts/probe_2d_scale.py [sizes...]
+"""
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def setup(n, B):
+    from difffe_tpu.ops.stencil import StructuredGrid
+    grid = StructuredGrid.unit(n, n)
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, xs)
+    f2 = (2 * math.pi ** 2 * jnp.sin(math.pi * X)
+          * jnp.sin(math.pi * Y)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f2, (B, n + 1, n + 1))
+    g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, n, n), jnp.float32)
+    return grid, fB, g0, k_true
+
+
+def main():
+    sizes = [int(s) for s in sys.argv[1:]] or [128, 256, 512]
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+        choose_2d_path, fused_kappa_mse_step_2d,
+        kappa_mse_step_2d_two_launch, solve_structured_pallas)
+
+    for n in sizes:
+        # 128 at 128², 64 at 256²; ≥512² capped at 8 — the remote
+        # compile helper fails (exit 1) for grid counts >8 at 513×640
+        # planes (measured 2026-08-20); production batches chunk via
+        # lax.map at this size.
+        B = 8 if n >= 512 else max(8, 16384 // n)
+        bb = 1
+        grid, fB, g0, k_true = setup(n, B)
+        scale = 2.0 / (fB.shape[1] * fB.shape[2])
+        path = choose_2d_path(grid, bb)
+        step_impl = (fused_kappa_mse_step_2d if path == "fused"
+                     else kappa_mse_step_2d_two_launch)
+        print(f"--- n={n} B={B} block_b={bb} path={path}", flush=True)
+
+        # u_data: one deeper cold launch (2n iters capped at 256 per launch)
+        try:
+            t0 = time.perf_counter()
+            u_data = jax.jit(lambda kk: solve_structured_pallas(
+                grid, (kk, kk), fB, g0, 256, bb))(k_true)
+            jax.block_until_ready(u_data)
+            print(f"  u_data launch (256 iters) ok, "
+                  f"{time.perf_counter()-t0:.0f}s incl compile", flush=True)
+        except Exception as e:
+            print(f"  u_data launch FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            continue
+
+        # warm-started SGD steps at modest per-step iters
+        for iters in (32,):
+            try:
+                lp, g, _, state = step_impl(
+                    grid, (k_true, k_true), fB, g0, u_data, scale=scale,
+                    iters=iters, block_b=bb, return_state=True)
+                jax.block_until_ready(lp)
+
+                def step(carry, _):
+                    k, st = carry
+                    lp, (gl, gu), _, st = step_impl(
+                        grid, (k, k), fB, g0, u_data, scale=scale,
+                        iters=iters, block_b=bb, warm_state=st,
+                        return_state=True)
+                    k = k - 100.0 * (gl + gu)
+                    return (k, st), lp.sum()
+
+                @jax.jit
+                def loop(k, st):
+                    (k, st), losses = jax.lax.scan(step, (k, st), None,
+                                                   length=20)
+                    return k, losses
+
+                k0 = jnp.ones((B, n, n), jnp.float32)
+                t0 = time.perf_counter()
+                k, losses = loop(k0, state)
+                jax.block_until_ready(losses)
+                compile_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                k, losses = loop(k0, state)
+                jax.block_until_ready(losses)
+                dt = (time.perf_counter() - t0) / 20
+                print(f"  fused grad step iters={iters} warm: "
+                      f"{B/dt:10,.0f} grad-solves/s  "
+                      f"({dt*1e3:.1f} ms/step, compile {compile_s:.0f}s, "
+                      f"loss finite={bool(np.isfinite(losses[-1]))})",
+                      flush=True)
+            except Exception as e:
+                print(f"  fused grad step iters={iters} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""TPU probe: batched UNSTRUCTURED-mesh grad-solve throughput (VERDICT
+round-2 missing #4).
+
+The at-scale 2D numbers all ride the structured-stencil kernels; the
+general path — arbitrary triangulations through per-element gather/
+scatter (ops/assembly.py:element_apply) + matrix-free PCG — has
+correctness tests but no measured rate.  This probe measures it at ~4k
+DOF (a 64×64 rectangle STORED as an arbitrary triangulation: same
+connectivity data model as the reference, /root/reference/diffhe/
+mesh.py:30-39), then the ELL gather-only path (ops/unstructured.py) if
+present.
+
+Run:  python scripts/probe_unstructured.py [B] [iters]
+"""
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.cg import solve_poisson_cg
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    n = 64
+    mesh = FEMesh.rectangle(nx=n, ny=n, dtype=jnp.float32)
+    ne = mesh.elements.shape[0]
+    print(f"mesh: {mesh.n_nodes} nodes, {ne} tri elements, B={B}, "
+          f"{iters} fixed CG iters", flush=True)
+
+    xy = mesh.nodes
+    f = (2 * math.pi ** 2 * jnp.sin(math.pi * xy[:, 0])
+         * jnp.sin(math.pi * xy[:, 1])).astype(jnp.float32)
+    F = jnp.broadcast_to(assemble_load(mesh, f), (B, mesh.n_nodes))
+    k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B, ne),
+                                      jnp.float32)
+
+    def run_path(solve, tag):
+        solveB = jax.vmap(lambda kk, FF: solve(kk, FF))
+        u_data = jax.jit(solveB)(k_true, F)
+        jax.block_until_ready(u_data)
+
+        def loss(kk):
+            return jnp.mean((solveB(kk, F) - u_data) ** 2)
+
+        g = jax.grad(loss)
+
+        def step(k, _):
+            return k - 100.0 * g(k), 0.0
+
+        @jax.jit
+        def loop(k):
+            k, _ = jax.lax.scan(step, k, None, length=10)
+            return k
+
+        k0 = jnp.ones((B, ne), jnp.float32)
+        out = loop(k0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = loop(k0)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 10
+        ok = bool(jnp.isfinite(out).all())
+        print(f"  {tag}: {B/dt:10,.0f} grad-solves/s "
+              f"({dt*1e3:.1f} ms/step, finite={ok})", flush=True)
+        return B / dt
+
+    run_path(lambda kk, FF: solve_poisson_cg(mesh, kk, FF, 0.0, iters),
+             "element_apply gather/scatter CG")
+
+    try:
+        from difffe_tpu.ops.unstructured import build_ell, solve_poisson_cg_ell
+    except ImportError:
+        print("  (no ELL path yet)", flush=True)
+        return
+    ell = build_ell(mesh)
+    run_path(lambda kk, FF: solve_poisson_cg_ell(mesh, ell, kk, FF, 0.0,
+                                                 iters),
+             "ELL gather-only CG          ")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""1->2 weak scaling with REAL per-device isolation: one process per
+device, each pinned to its own physical core.
+
+weak_scaling_2core.py (2 virtual devices inside one process) still
+shares a single XLA-CPU intra-op thread pool between the devices, so the
+curve confounds partitioning overhead with pool contention.  Here each
+device is its own ``jax.distributed`` process with its own thread pool,
+pinned by taskset to its own core — the closest a 2-core CPU host gets
+to the real multihost topology (one chip per host, collectives across
+the process boundary).
+
+Run:  python scripts/weak_scaling_2proc.py
+"""
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys, time, math
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax, jax.numpy as jnp
+import numpy as np
+nproc, pid, port, per_b = (int(sys.argv[1]), int(sys.argv[2]),
+                           sys.argv[3], int(sys.argv[4]))
+if nproc > 1:
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from difffe_tpu.ops.stencil import StructuredGrid, solve_poisson_structured
+
+N, ITERS, PER_B, STEPS = 32, 48, per_b, 10
+grid = StructuredGrid.unit(N, N)
+xs = jnp.linspace(0, 1, N + 1)
+X, Y = jnp.meshgrid(xs, xs)
+f2 = 2 * math.pi ** 2 * jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+g0 = jnp.zeros((N + 1, N + 1))
+u_tgt = solve_poisson_structured(
+    grid, (jnp.full((N, N), 2.0), jnp.full((N, N), 2.0)), f2, g0,
+    tol=0.0, maxiter=ITERS)
+
+def loss(kl, fB):
+    u = solve_poisson_structured(grid, (kl, kl), fB, g0,
+                                 tol=0.0, maxiter=ITERS)
+    return jnp.mean((u - u_tgt) ** 2)
+
+step = jax.jit(jax.value_and_grad(loss))
+B = PER_B * nproc
+mesh = Mesh(np.array(jax.devices()), ("dp",))
+sh = NamedSharding(mesh, P("dp"))
+kl_h = np.asarray(1.0 + 0.5 * jax.random.uniform(jax.random.PRNGKey(0),
+                                                 (B, N, N)))
+fB_h = np.broadcast_to(np.asarray(f2), (B, N + 1, N + 1))
+kl = jax.make_array_from_callback(kl_h.shape, sh, lambda i: kl_h[i])
+fB = jax.make_array_from_callback(fB_h.shape, sh, lambda i: fB_h[i])
+
+out = step(kl, fB)
+jax.block_until_ready(out)           # compile + first collective
+t0 = time.perf_counter()
+for _ in range(STEPS):
+    out = step(kl, fB)
+    jax.block_until_ready(out)
+dt = (time.perf_counter() - t0) / STEPS
+if pid == 0:
+    print(f"THR {nproc / dt:.4f}", flush=True)   # device-steps/s
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def run(nproc: int, per_b: int) -> float:
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        [REPO] + [p for p in env.get("PYTHONPATH", "").split(":")
+                  if p and "axon_site" not in p])
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(pid), sys.executable, "-c", WORKER,
+             str(nproc), str(pid), str(port), str(per_b)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(nproc)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"proc{pid} failed:\n{out}")
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("THR "):
+                return float(line.split()[1])
+    raise RuntimeError("no THR line:\n" + "\n".join(outs))
+
+
+def main():
+    import sys as _sys
+    per_bs = [int(x) for x in _sys.argv[1:]] or [8, 64, 256]
+    print("# 1->2 process weak scaling, one pinned core per device-process")
+    print("per-dev-B  1-dev steps/s  2-dev device-steps/s  efficiency")
+    for per_b in per_bs:
+        thr1 = run(1, per_b)
+        thr2 = run(2, per_b)
+        eff = (thr2 / 2.0) / thr1
+        print(f"{per_b:9d}  {thr1:13.2f}  {thr2:20.2f}  {eff:9.1%}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

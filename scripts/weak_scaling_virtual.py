@@ -10,7 +10,13 @@ from 1 to 8 devices.
 Run:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         PYTHONPATH=/root/repo python scripts/weak_scaling_virtual.py
+
+For a NON-saturated point on this 2-core host use
+scripts/weak_scaling_2core.py, which pins the 1-device baseline to one
+physical core (taskset) so each device owns one core at both counts.
 """
+import argparse
+import json
 import math
 
 import jax
@@ -50,12 +56,19 @@ def main():
         sh = batch_sharding(dmesh)
         return jax.device_put(kl, sh), jax.device_put(fB, sh)
 
-    counts = [1, 2, 4, 8]
-    results = scaling_efficiency(step, make_args, counts, iters=5)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--counts", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument("--json", action="store_true",
+                    help="emit one {count: device-steps/s} JSON line")
+    args = ap.parse_args()
+    results = scaling_efficiency(step, make_args, args.counts, iters=5)
+    if args.json:
+        print(json.dumps({n: results[n][0] for n in args.counts}))
+        return
     print(f"# weak scaling, {PER_DEVICE_B} scenarios/device, "
           f"{N}x{N} grid, {ITERS}-iter PCG grad step")
     print("devices  device-steps/s  efficiency")
-    for n in counts:
+    for n in args.counts:
         thr, eff = results[n]
         print(f"{n:7d}  {thr:14.2f}  {eff:9.1%}")
 

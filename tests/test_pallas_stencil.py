@@ -232,3 +232,63 @@ class TestWarmStart2D:
         assert loss_warm < 4.0 * loss_cold + 1e-12, (
             f"warm iters=12 ({loss_warm:.3e}) far off cold iters=96 "
             f"({loss_cold:.3e})")
+
+
+class TestTwoLaunchAndDispatch:
+    """The >128² scale story: kappa_mse_step_2d_two_launch must be an
+    exact drop-in for the fused one-launch step (same outputs, same
+    warm-state contract), and choose_2d_path must follow the measured
+    VMEM compile boundary (scripts/probe_2d_scale.py)."""
+
+    def _setup(self, n=16, B=3):
+        grid = StructuredGrid.unit(n, n)
+        kl = 1.0 + jax.random.uniform(jax.random.PRNGKey(7), (B, n, n),
+                                      jnp.float32)
+        f = jnp.ones((B, n + 1, n + 1), jnp.float32)
+        g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+        u_data = solve_structured_pallas(grid, (kl * 1.2, kl), f, g0, 128, 1)
+        return grid, kl, f, g0, u_data
+
+    def test_two_launch_matches_fused(self):
+        from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+            fused_kappa_mse_step_2d, kappa_mse_step_2d_two_launch)
+        grid, kl, f, g0, u_data = self._setup()
+        lp_f, (gl_f, gu_f), u_f, st_f = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f, g0, u_data, iters=48, block_b=1,
+            return_state=True)
+        lp_t, (gl_t, gu_t), u_t, st_t = kappa_mse_step_2d_two_launch(
+            grid, (kl, kl), f, g0, u_data, iters=48, block_b=1,
+            return_state=True)
+        np.testing.assert_allclose(np.asarray(lp_t), np.asarray(lp_f),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_f),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(gl_t), np.asarray(gl_f),
+                                   rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gu_t), np.asarray(gu_f),
+                                   rtol=1e-5, atol=1e-9)
+        # warm-state contract: fused state feeds the two-launch step and
+        # vice versa (both are padded (x_p, lam_p) pairs)
+        lp_w, _, _ = kappa_mse_step_2d_two_launch(
+            grid, (kl, kl), f, g0, u_data, iters=4, block_b=1,
+            warm_state=st_f)
+        np.testing.assert_allclose(np.asarray(lp_w), np.asarray(lp_f),
+                                   rtol=1e-5)
+        lp_w2, _, _ = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f, g0, u_data, iters=4, block_b=1,
+            warm_state=st_t)
+        np.testing.assert_allclose(np.asarray(lp_w2), np.asarray(lp_f),
+                                   rtol=1e-5)
+
+    def test_choose_2d_path_follows_measured_boundary(self):
+        from difffe_tpu.ops.pallas.stencil_cg_kernel import choose_2d_path
+        # measured on chip: fused compiles at 256², fails at 512²; the
+        # plain solve kernel still compiles at 512²
+        assert choose_2d_path(StructuredGrid.unit(64, 64), 8) == "fused"
+        assert choose_2d_path(StructuredGrid.unit(256, 256), 1) == "fused"
+        assert choose_2d_path(StructuredGrid.unit(512, 512), 1) == \
+            "two_launch"
+        assert choose_2d_path(StructuredGrid.unit(1024, 1024), 1) == "xla"
+        # block_b scales the working set: 256² with 4 scenarios per
+        # program is past the fused budget
+        assert choose_2d_path(StructuredGrid.unit(256, 256), 4) != "fused"
