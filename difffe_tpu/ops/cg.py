@@ -56,6 +56,23 @@ def _pcg(A, b, Minv, x0, tol: float, maxiter: int):
     return pcg(A, b, lambda r: Minv * r, x0, tol, maxiter)
 
 
+def _applyK_fixed(mesh: FEMesh, kappa):
+    """Close the matvec over weights assembled ONCE.
+
+    XLA performs no loop-invariant code motion across ``lax.while_loop``
+    bodies, so building κ-dependent element blocks inside the CG operator
+    re-runs the whole local-stiffness assembly every iteration.  For
+    element families with per-element blocks, fold κ into the blocks here
+    and close over them (measured ~1.9× on the 4k-DOF unstructured grad
+    step, scripts/probe_unstructured.py); the 1D line family's banded
+    apply is already cheap."""
+    from .assembly import element_family, element_apply, local_stiffness
+    if element_family(mesh) == "p1_line":
+        return lambda w: stiffness_apply(mesh, kappa, w)
+    Ke = local_stiffness(mesh, kappa)
+    return lambda w: element_apply(mesh, Ke, w)
+
+
 def _operator(mesh: FEMesh, kappa, v: jax.Array) -> jax.Array:
     return apply_dirichlet_operator(
         mesh, lambda w: stiffness_apply(mesh, kappa, w), v)
@@ -86,11 +103,12 @@ def solve_poisson_cg(mesh: FEMesh, kappa, F: jax.Array,
 
 def _cg_impl(mesh, kappa, F, tol, maxiter):
     maxiter = maxiter if maxiter is not None else mesh.n_nodes
-    b = _rhs(mesh, kappa, F)
+    applyK = _applyK_fixed(mesh, kappa)
+    b = dirichlet_rhs(mesh, applyK, F)
     Minv = _jacobi(mesh, kappa)
     x0 = mesh.bc_mask * mesh.bc_values
-    return _pcg(lambda v: _operator(mesh, kappa, v), b, Minv,
-                jnp.broadcast_to(x0, b.shape), tol, maxiter)
+    return _pcg(lambda v: apply_dirichlet_operator(mesh, applyK, v), b,
+                Minv, jnp.broadcast_to(x0, b.shape), tol, maxiter)
 
 
 def cg_diagnostics(mesh: FEMesh, kappa, F: jax.Array,
@@ -118,9 +136,10 @@ def _cg_fwd(mesh, kappa, F, tol, maxiter):
 def _cg_bwd(tol, maxiter, res, g):
     mesh, kappa, F, u = res
     maxit = maxiter if maxiter is not None else mesh.n_nodes
+    applyK = _applyK_fixed(mesh, kappa)
     Minv = _jacobi(mesh, kappa)
-    lam = _pcg(lambda v: _operator(mesh, kappa, v), g, Minv,
-               jnp.zeros_like(g), tol, maxit)
+    lam = _pcg(lambda v: apply_dirichlet_operator(mesh, applyK, v), g,
+               Minv, jnp.zeros_like(g), tol, maxit)
 
     # Residual map at fixed u: R(mesh, κ, F) = b(mesh, κ, F) − A(mesh, κ)u.
     def residual(mesh_, kappa_, F_):

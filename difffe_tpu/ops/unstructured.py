@@ -100,14 +100,33 @@ def build_ell(mesh: FEMesh) -> ELL:
                jnp.asarray(jcols), jnp.asarray(wdiag, mesh.dtype))
 
 
+def ell_weights(mesh: FEMesh, ell: ELL, kappa):
+    """Fold κ into the gather tables ONCE per solve: (W, diag) with
+    W[..., i, d, q] = κ_{inc_elem[i,d]} · wgeo[i,d,q].
+
+    XLA does not hoist loop-invariant code out of ``lax.while_loop``
+    bodies, so κ-dependent weight assembly inside the CG operator re-runs
+    every iteration; assembling here and closing the operator over W is
+    worth ~the whole κ-gather+multiply per iteration (measured:
+    scripts/probe_unstructured.py)."""
+    ke = kappa_on_elements(mesh, kappa)                   # (..., ne)
+    keg = ke[..., ell.inc_elem]                           # (..., n, D)
+    W = keg[..., None] * ell.wgeo                         # (..., n, D, k)
+    diag = jnp.sum(keg * ell.wdiag, axis=-1)              # (..., n)
+    return W, diag
+
+
+def ell_apply_w(ell: ELL, W: jax.Array, u: jax.Array) -> jax.Array:
+    """K·u from prefolded weights: one gather + one contraction."""
+    ug = u[..., ell.j]                                    # (..., n, D, k)
+    return jnp.einsum("...ndq,...ndq->...n", W, ug)
+
+
 def ell_apply(mesh: FEMesh, ell: ELL, kappa, u: jax.Array) -> jax.Array:
     """K·u by gathers only; u: (..., n) → (..., n).  Exactly equal to
     element_apply with the same κ (tests/test_unstructured.py)."""
-    ke = kappa_on_elements(mesh, kappa)                   # (ne,)
-    keg = ke[..., ell.inc_elem]                           # (..., n, D)
-    ug = u[..., ell.j]                                    # (..., n, D, k)
-    s = jnp.einsum("ndq,...ndq->...nd", ell.wgeo, ug)
-    return jnp.sum(keg * s, axis=-1)
+    W, _ = ell_weights(mesh, ell, kappa)
+    return ell_apply_w(ell, W, u)
 
 
 def ell_diag(mesh: FEMesh, ell: ELL, kappa) -> jax.Array:
@@ -116,25 +135,22 @@ def ell_diag(mesh: FEMesh, ell: ELL, kappa) -> jax.Array:
     return jnp.sum(ke[..., ell.inc_elem] * ell.wdiag, axis=-1)
 
 
-def _operator(mesh, ell, kappa, v):
-    return apply_dirichlet_operator(
-        mesh, lambda w: ell_apply(mesh, ell, kappa, w), v)
-
-
-def _jacobi(mesh, ell, kappa):
+def _jacobi_from_diag(mesh, diag):
     m = mesh.bc_mask
-    diagA = m + (1.0 - m) * ell_diag(mesh, ell, kappa)
+    diagA = m + (1.0 - m) * diag
     return 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
 
 
 def _ell_impl(mesh, ell, kappa, F, tol, maxiter):
     maxiter = maxiter if maxiter is not None else mesh.n_nodes
-    b = dirichlet_rhs(mesh, lambda w: ell_apply(mesh, ell, kappa, w), F)
-    Minv = _jacobi(mesh, ell, kappa)
+    W, diag = ell_weights(mesh, ell, kappa)   # once — NOT per iteration
+    applyK = lambda w: ell_apply_w(ell, W, w)
+    op = lambda v: apply_dirichlet_operator(mesh, applyK, v)
+    b = dirichlet_rhs(mesh, applyK, F)
+    Minv = _jacobi_from_diag(mesh, diag)
     x0 = mesh.bc_mask * mesh.bc_values
-    return pcg(lambda v: _operator(mesh, ell, kappa, v), b,
-               lambda r: Minv * r, jnp.broadcast_to(x0, b.shape),
-               tol, maxiter)
+    return pcg(op, b, lambda r: Minv * r,
+               jnp.broadcast_to(x0, b.shape), tol, maxiter)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -159,8 +175,10 @@ def _ell_fwd(mesh, ell, kappa, F, tol, maxiter):
 def _ell_bwd(tol, maxiter, res, g):
     mesh, ell, kappa, F, u = res
     maxit = maxiter if maxiter is not None else mesh.n_nodes
-    Minv = _jacobi(mesh, ell, kappa)
-    lam = pcg(lambda v: _operator(mesh, ell, kappa, v), g,
+    W, diag = ell_weights(mesh, ell, kappa)   # reused across the adjoint
+    applyK = lambda w: ell_apply_w(ell, W, w)
+    Minv = _jacobi_from_diag(mesh, diag)
+    lam = pcg(lambda v: apply_dirichlet_operator(mesh, applyK, v), g,
               lambda r: Minv * r, jnp.zeros_like(g), tol, maxit)
 
     # Residual map at fixed u — the ONE place a scatter appears (the
