@@ -1,36 +1,40 @@
-"""Gather-only (ELLPACK) matrix-free operator for arbitrary P1
+"""Gather-only (edge-ELL) matrix-free operator for arbitrary P1
 triangulations — the TPU-native unstructured path.
 
 The general unstructured apply (ops/assembly.py:element_apply) is
 element-centric: gather element DOFs, apply local blocks, SCATTER-ADD
-back.  XLA lowers the scatter-add to a serialized per-index update on
-TPU, and it runs inside every CG iteration — measured at 4k DOF it is
-the entire bottleneck (scripts/probe_unstructured.py).
+back.  The scatter-add runs inside every CG iteration, and XLA performs
+no loop-invariant code motion across ``lax.while_loop`` bodies, so the
+κ-dependent block assembly re-runs every iteration too.
 
-This module re-lays the SAME operator node-centrically, in pull form:
+This module re-lays the SAME operator node-centrically in pull (row)
+form, compiled to fixed-width gather tables:
 
-    (K u)[i] = Σ_{(e,p): elems[e,p]=i} κ_e Σ_q G_e[p,q] · u[elems[e,q]]
+    (K u)[i] = diag_i(κ) · u_i + Σ_d W[i,d](κ) · u[nbr[i,d]]
 
-The incidence sets {(e,p)} are static mesh topology, so everything
-except κ and u is precomputed once per mesh into fixed-width
-(max-incidence-padded) tables:
+where ``nbr[i,:]`` are node i's mesh neighbors (static topology,
+max-degree padded) and the κ-folding is precomputed ONCE per solve:
 
-    inc_elem[i,d]   — d-th element incident to node i     (n, D)
-    wgeo[i,d,q]     — G_{inc_elem[i,d]}[inc_p[i,d], q]    (n, D, k)
-    j[i,d,q]        — elems[inc_elem[i,d], q]             (n, D, k)
+    W[i,d]  = Σ_t κ[edge_elem[i,d,t]] · edge_w[i,d,t]   (t < 2: the ≤2
+              triangles sharing edge (i, nbr[i,d]) on a manifold mesh)
+    diag_i  = Σ_t κ[inc_elem[i,t]] · wdiag[i,t]
 
-and the hot-loop matvec becomes two gathers + one contraction:
-
-    out = Σ_d κ[inc_elem] · Σ_q wgeo[:,:,q] · u[j[:,:,q]]
-
-NO scatter anywhere in the CG iteration.  Padding slots carry wgeo = 0
-(indices 0), so they contribute exactly zero.  D is the max node
-incidence (≤ 8 for reasonable triangulations; structured-as-unstructured
-rectangles have D = 6).
+so the CG hot loop is ONE (…, n, Dn) gather + one FMA contraction — no
+scatter, no assembly.  Padding slots carry zero weights (index 0), so
+they contribute exactly zero.  Dn is the max node degree (≤ 8 for
+reasonable triangulations).
 
 The per-element-κ gradient needs one scatter per GRAD STEP (the
-transpose of the κ gather inside the residual-map VJP), not per
+transpose of the κ gathers inside the residual-map VJP), not per
 iteration — that is the whole point.
+
+Why not a whole-CG Pallas kernel like the structured path: Mosaic on
+this toolchain cannot lower arbitrary VMEM gathers at all
+(jnp.take → lowering error; take_along_axis on either axis → compiler
+SIGABRT; scripts/probe_mosaic_gather.py), so the unstructured matvec
+stays in XLA and the VMEM-resident whole-CG kernels remain the
+structured-grid specialization.  Measured rates and the decision record:
+docs/PERFORMANCE.md 'Unstructured meshes'.
 
 Reference counterpart: the arbitrary-connectivity data model of
 /root/reference/diffhe/mesh.py:30-39 with the dense assembly of
@@ -55,78 +59,87 @@ from .solve import apply_dirichlet_operator, dirichlet_rhs
 
 class ELL(NamedTuple):
     """Static gather tables for one mesh (see module docstring)."""
-    inc_elem: jax.Array       # (n, D) int32 — element index, 0-padded
-    wgeo: jax.Array           # (n, D, k) — unit-κ local-row weights, 0-padded
-    j: jax.Array              # (n, D, k) int32 — column node ids, 0-padded
-    wdiag: jax.Array          # (n, D) — unit-κ diagonal weights, 0-padded
+    nbr: jax.Array            # (n, Dn) int32 — neighbor node ids, 0-padded
+    edge_elem: jax.Array      # (n, Dn, T) int32 — elems sharing edge (i,nbr)
+    edge_w: jax.Array         # (n, Dn, T) — unit-κ off-diag weights, 0-pad
+    inc_elem: jax.Array       # (n, Di) int32 — elements incident to node i
+    wdiag: jax.Array          # (n, Di) — unit-κ diagonal weights, 0-padded
 
 
 def build_ell(mesh: FEMesh) -> ELL:
     """Precompute the gather tables (host-side, once per mesh).
 
-    ``wgeo`` uses unit κ: the κ-dependence is re-attached per apply via a
-    (n, D) gather of per-element κ, so one ELL serves every κ (and every
-    scenario of a batch)."""
+    Weights use unit κ: the κ-dependence is re-attached per solve via
+    per-element gathers (ell_weights), so one ELL serves every κ and
+    every scenario of a batch."""
     elems = np.asarray(mesh.elements)                     # (ne, k)
     ne, k = elems.shape
     n = mesh.n_nodes
     ones = jnp.ones((ne,), mesh.dtype)
     G = np.asarray(local_stiffness(mesh, ones))           # (ne, k, k), κ=1
 
-    counts = np.zeros(n, np.int64)
-    np.add.at(counts, elems.reshape(-1), 1)
-    D = int(counts.max())
-
-    inc_elem = np.zeros((n, D), np.int32)
-    inc_p = np.zeros((n, D), np.int32)
-    fill = np.zeros(n, np.int64)
+    # per-node incident (element, local index) lists → diagonal weights
+    nbrs = [dict() for _ in range(n)]    # j -> list of (e, w)
+    incs = [[] for _ in range(n)]        # list of (e, w_pp)
     for e in range(ne):
         for p in range(k):
-            i = elems[e, p]
-            d = fill[i]
-            inc_elem[i, d] = e
-            inc_p[i, d] = p
-            fill[i] += 1
+            i = int(elems[e, p])
+            incs[i].append((e, G[e, p, p]))
+            for q in range(k):
+                if q == p:
+                    continue
+                j = int(elems[e, q])
+                nbrs[i].setdefault(j, []).append((e, G[e, p, q]))
 
-    wgeo = G[inc_elem, inc_p, :]                          # (n, D, k)
-    # zero the padded slots (slots past fill[i])
-    pad = np.arange(D)[None, :] >= fill[:, None]
-    wgeo[pad] = 0.0
-    jcols = elems[inc_elem, :].astype(np.int32)           # (n, D, k)
-    jcols[pad] = 0
-    wdiag = G[inc_elem, inc_p, inc_p]                     # (n, D)
-    wdiag[pad] = 0.0
-    return ELL(jnp.asarray(inc_elem), jnp.asarray(wgeo, mesh.dtype),
-               jnp.asarray(jcols), jnp.asarray(wdiag, mesh.dtype))
+    Dn = max(len(d) for d in nbrs)
+    T = max((len(lst) for d in nbrs for lst in d.values()), default=1)
+    Di = max(len(c) for c in incs)
+
+    nbr = np.zeros((n, Dn), np.int32)
+    edge_elem = np.zeros((n, Dn, T), np.int32)
+    edge_w = np.zeros((n, Dn, T), G.dtype)
+    inc_elem = np.zeros((n, Di), np.int32)
+    wdiag = np.zeros((n, Di), G.dtype)
+    for i in range(n):
+        for d, (j, lst) in enumerate(sorted(nbrs[i].items())):
+            nbr[i, d] = j
+            for t, (e, w) in enumerate(lst):
+                edge_elem[i, d, t] = e
+                edge_w[i, d, t] = w
+        for t, (e, w) in enumerate(incs[i]):
+            inc_elem[i, t] = e
+            wdiag[i, t] = w
+
+    return ELL(jnp.asarray(nbr), jnp.asarray(edge_elem),
+               jnp.asarray(edge_w, mesh.dtype), jnp.asarray(inc_elem),
+               jnp.asarray(wdiag, mesh.dtype))
 
 
 def ell_weights(mesh: FEMesh, ell: ELL, kappa):
-    """Fold κ into the gather tables ONCE per solve: (W, diag) with
-    W[..., i, d, q] = κ_{inc_elem[i,d]} · wgeo[i,d,q].
+    """Fold κ into the gather tables ONCE per solve → (W, diag).
 
-    XLA does not hoist loop-invariant code out of ``lax.while_loop``
-    bodies, so κ-dependent weight assembly inside the CG operator re-runs
-    every iteration; assembling here and closing the operator over W is
-    worth ~the whole κ-gather+multiply per iteration (measured:
-    scripts/probe_unstructured.py)."""
+    Assembling here and closing the CG operator over (W, diag) removes
+    the per-iteration κ gathers entirely (XLA does not hoist
+    loop-invariant code out of ``lax.while_loop`` bodies)."""
     ke = kappa_on_elements(mesh, kappa)                   # (..., ne)
-    keg = ke[..., ell.inc_elem]                           # (..., n, D)
-    W = keg[..., None] * ell.wgeo                         # (..., n, D, k)
-    diag = jnp.sum(keg * ell.wdiag, axis=-1)              # (..., n)
-    return W, diag
+    W = jnp.sum(ke[..., ell.edge_elem] * ell.edge_w, axis=-1)
+    diag = jnp.sum(ke[..., ell.inc_elem] * ell.wdiag, axis=-1)
+    return W, diag                                        # (...,n,Dn), (...,n)
 
 
-def ell_apply_w(ell: ELL, W: jax.Array, u: jax.Array) -> jax.Array:
-    """K·u from prefolded weights: one gather + one contraction."""
-    ug = u[..., ell.j]                                    # (..., n, D, k)
-    return jnp.einsum("...ndq,...ndq->...n", W, ug)
+def ell_apply_w(ell: ELL, W: jax.Array, diag: jax.Array,
+                u: jax.Array) -> jax.Array:
+    """K·u from prefolded weights: one (…, n, Dn) gather + one FMA
+    contraction — the entire per-iteration cost."""
+    ug = u[..., ell.nbr]                                  # (..., n, Dn)
+    return diag * u + jnp.sum(W * ug, axis=-1)
 
 
 def ell_apply(mesh: FEMesh, ell: ELL, kappa, u: jax.Array) -> jax.Array:
     """K·u by gathers only; u: (..., n) → (..., n).  Exactly equal to
     element_apply with the same κ (tests/test_unstructured.py)."""
-    W, _ = ell_weights(mesh, ell, kappa)
-    return ell_apply_w(ell, W, u)
+    W, diag = ell_weights(mesh, ell, kappa)
+    return ell_apply_w(ell, W, diag, u)
 
 
 def ell_diag(mesh: FEMesh, ell: ELL, kappa) -> jax.Array:
@@ -144,7 +157,7 @@ def _jacobi_from_diag(mesh, diag):
 def _ell_impl(mesh, ell, kappa, F, tol, maxiter):
     maxiter = maxiter if maxiter is not None else mesh.n_nodes
     W, diag = ell_weights(mesh, ell, kappa)   # once — NOT per iteration
-    applyK = lambda w: ell_apply_w(ell, W, w)
+    applyK = lambda w: ell_apply_w(ell, W, diag, w)
     op = lambda v: apply_dirichlet_operator(mesh, applyK, v)
     b = dirichlet_rhs(mesh, applyK, F)
     Minv = _jacobi_from_diag(mesh, diag)
@@ -160,8 +173,8 @@ def solve_poisson_cg_ell(mesh: FEMesh, ell: ELL, kappa, F: jax.Array,
     """Matrix-free Jacobi-PCG Poisson solve on the gather-only operator.
 
     Same semantics, IFT adjoint, and fixed-trip ``tol=0`` batched mode as
-    ops/cg.py:solve_poisson_cg, with the scatter-free ELL matvec in both
-    the forward and adjoint loops.  ``ell = build_ell(mesh)`` once;
+    ops/cg.py:solve_poisson_cg, with the scatter-free edge-ELL matvec in
+    both the forward and adjoint loops.  ``ell = build_ell(mesh)`` once;
     gradients flow to κ and F (geometry is baked into the host-built
     tables — use solve_poisson_cg when you need ∂/∂nodes)."""
     return _ell_impl(mesh, ell, kappa, F, tol, maxiter)
@@ -176,7 +189,7 @@ def _ell_bwd(tol, maxiter, res, g):
     mesh, ell, kappa, F, u = res
     maxit = maxiter if maxiter is not None else mesh.n_nodes
     W, diag = ell_weights(mesh, ell, kappa)   # reused across the adjoint
-    applyK = lambda w: ell_apply_w(ell, W, w)
+    applyK = lambda w: ell_apply_w(ell, W, diag, w)
     Minv = _jacobi_from_diag(mesh, diag)
     lam = pcg(lambda v: apply_dirichlet_operator(mesh, applyK, v), g,
               lambda r: Minv * r, jnp.zeros_like(g), tol, maxit)
@@ -185,12 +198,10 @@ def _ell_bwd(tol, maxiter, res, g):
     # transpose of the κ/F gathers), once per grad step.
     def residual(mesh_, ell_, kappa_, F_):
         u_fixed = jax.lax.stop_gradient(u)
-        return (dirichlet_rhs(mesh_,
-                              lambda w: ell_apply(mesh_, ell_, kappa_, w),
-                              F_)
-                - apply_dirichlet_operator(
-                    mesh_, lambda w: ell_apply(mesh_, ell_, kappa_, w),
-                    u_fixed))
+        W_, d_ = ell_weights(mesh_, ell_, kappa_)
+        applyK_ = lambda w: ell_apply_w(ell_, W_, d_, w)
+        return (dirichlet_rhs(mesh_, applyK_, F_)
+                - apply_dirichlet_operator(mesh_, applyK_, u_fixed))
 
     _, vjp = jax.vjp(residual, mesh, ell, kappa, F)
     return vjp(lam)

@@ -1,0 +1,81 @@
+"""Mosaic feasibility probe: can a Pallas TPU kernel gather arbitrary
+rows/lanes of a VMEM-resident array?  (Decides whether a whole-CG
+unstructured ELL kernel is buildable — VERDICT round-2 missing #4.)
+
+Measured 2026-08-20 on TPU v5e (this toolchain):
+  * jnp.take(u, flat_idx, axis=0)                → ValueError at lowering
+    ("Shape mismatch in input, indices and output" — Mosaic's gather
+    only accepts same-shape input/indices/output)
+  * jnp.take_along_axis(u, idx, axis=0) sublanes → compiler SIGABRT
+    (tpu_compile_helper exit 1)
+  * jnp.take_along_axis(u, idx, axis=1) lanes    → compiler SIGABRT
+
+Conclusion recorded in docs/PERFORMANCE.md: in-kernel arbitrary gather
+is unavailable; the unstructured production path stays in XLA (ELL with
+per-solve hoisted weights, ops/unstructured.py) and whole-CG VMEM
+kernels remain the structured-grid specialization.
+
+Run:  python scripts/probe_mosaic_gather.py
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+n, D, TB = 256, 8, 8
+
+
+def try_kernel(tag, kernel, out_shape, *args):
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(*args)
+        jax.block_until_ready(out)
+        print(f"{tag}: OK", flush=True)
+        return out
+    except Exception as e:
+        print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:120]}",
+              flush=True)
+        return None
+
+
+def main():
+    rng = np.random.RandomState(0)
+    idx = jnp.asarray(rng.randint(0, n, (n, D)), jnp.int32)
+    u_sub = jnp.asarray(rng.randn(n, TB), jnp.float32)
+    u_lane = jnp.asarray(rng.randn(TB, n), jnp.float32)
+
+    def k_take(u_ref, idx_ref, out_ref):
+        y = jnp.take(u_ref[:], idx_ref[:].reshape(-1), axis=0)
+        out_ref[:] = jnp.sum(y.reshape(n, D, TB), axis=1)
+
+    def k_along_sub(u_ref, idx_ref, out_ref):
+        u = u_ref[:]
+        acc = jnp.zeros_like(u)
+        for d in range(D):
+            ix = jax.lax.broadcast_in_dim(idx_ref[:, d], u.shape, (0,))
+            acc = acc + jnp.take_along_axis(u, ix, axis=0)
+        out_ref[:] = acc
+
+    def k_along_lane(u_ref, idx_ref, out_ref):
+        u = u_ref[:]
+        acc = jnp.zeros_like(u)
+        for d in range(D):
+            ix = jax.lax.broadcast_in_dim(idx_ref[:, d], u.shape, (1,))
+            acc = acc + jnp.take_along_axis(u, ix, axis=1)
+        out_ref[:] = acc
+
+    try_kernel("take axis=0 (flat)", k_take,
+               jax.ShapeDtypeStruct((n, TB), jnp.float32), u_sub, idx)
+    try_kernel("take_along_axis sublanes", k_along_sub,
+               jax.ShapeDtypeStruct((n, TB), jnp.float32), u_sub, idx)
+    try_kernel("take_along_axis lanes", k_along_lane,
+               jax.ShapeDtypeStruct((TB, n), jnp.float32), u_lane, idx)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,14 @@ def main():
                                                  iters),
              "ELL gather-only CG          ")
 
+    # RCM-reordered variant: same operator, bandwidth-localized indices
+    from difffe_tpu.native.meshtool import reorder_mesh
+    rmesh, perm = reorder_mesh(mesh)
+    rell = build_ell(rmesh)
+    run_path(lambda kk, FF: solve_poisson_cg_ell(rmesh, rell, kk, FF, 0.0,
+                                                 iters),
+             "ELL + RCM reorder           ")
+
 
 if __name__ == "__main__":
     main()
