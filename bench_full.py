@@ -58,37 +58,46 @@ def main():
                         jnp.zeros((B,), jnp.float32))
         results[f"1d_grad_solves_per_s_n{n_elem}_B{B}"] = round(B / dt, 1)
 
-    # Production 1D path: MXU-factorized fused grad-step kernel at the
-    # throughput-optimal batch (parity gated in bench.py and
-    # tests/test_fused_grad.py); the general PCR kernel is benched alongside.
+    # Production 1D path: MXU-factorized fused grad-step kernel in the
+    # bench.py headline configuration (B=2M, shared-F VMEM-resident, bf16
+    # operand storage + f32 compute; parity gated in bench.py and
+    # tests/test_fused_grad.py); the general PCR kernel is benched
+    # alongside at B=1M.
     from difffe_tpu.ops.pallas.fused_grad_kernel import fused_kappa_mse_step
     from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
         fused_kappa_mse_step_mxu
-    B = 1048576
+    B = 2097152
     mesh = FEMesh.line(n_elements=30, dtype=jnp.float32)
     x = mesh.nodes[:, 0]
+    fv = jnp.sin(jnp.pi * x) + 1.0
     k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,),
                                       jnp.float32) * 2.0
-    f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+    f = jnp.broadcast_to(fv, (B, mesh.n_nodes))
     u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
                                    kappa_batched=True)
-    F = assemble_load(mesh, f)
+    Fs = assemble_load(mesh, fv)                      # (n,) shared-F mode
 
     def fused_step_mxu(lk, F_, ud_):
-        _, g = fused_kappa_mse_step_mxu(mesh, lk, F_, ud_, block_lanes=4096)
+        _, g = fused_kappa_mse_step_mxu(mesh, lk, F_, ud_,
+                                        block_lanes=4096,
+                                        operand_dtype=jnp.bfloat16)
         return lk - 0.3 * g
 
     dt = per_step_s(fused_step_mxu, jnp.zeros((B,), jnp.float32),
-                    args=(F, u_data))
-    results[f"1d_grad_solves_per_s_n30_B{B}_fused_mxu"] = round(B / dt, 1)
+                    args=(Fs, u_data))
+    results[f"1d_grad_solves_per_s_n30_B{B}_fused_mxu_bf16"] = \
+        round(B / dt, 1)
+
+    B1 = 1048576
+    F1 = assemble_load(mesh, f[:B1])
 
     def fused_step_pcr(lk, F_, ud_):
         _, g = fused_kappa_mse_step(mesh, lk, F_, ud_, block_lanes=512)
         return lk - 0.3 * g
 
-    dt = per_step_s(fused_step_pcr, jnp.zeros((B,), jnp.float32),
-                    args=(F, u_data))
-    results[f"1d_grad_solves_per_s_n30_B{B}_fused_pcr"] = round(B / dt, 1)
+    dt = per_step_s(fused_step_pcr, jnp.zeros((B1,), jnp.float32),
+                    args=(F1, u_data[:B1]))
+    results[f"1d_grad_solves_per_s_n30_B{B1}_fused_pcr"] = round(B1 / dt, 1)
 
     # ---- config 4: 2D structured batched fwd+adjoint ---------------------
     n, B = 64, 64
@@ -137,6 +146,63 @@ def main():
     dtg = per_step_s(lambda kl: kl - 0.05 * g2p(kl), klP, length=12)
     results[f"2d_solves_per_s_{n}x{n}"] = round(Bp / dtf, 1)
     results[f"2d_grad_solves_per_s_{n}x{n}"] = round(Bp / dtg, 1)
+
+    # Production 2D inversion mode (round 3): warm-started fused grad
+    # steps at iters=32 — converged-loss-equivalent to cold 128 iters
+    # (docs/PERFORMANCE.md 'iteration-count lever', probe_2d_warm.py).
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import \
+        fused_kappa_mse_step_2d
+    scale2 = 2.0 / ((n + 1) * (n + 1))
+    _, _, _, st0 = fused_kappa_mse_step_2d(
+        grid, (klP, klP), f2P, g0, uP_data, scale=scale2, iters=32,
+        block_b=8, return_state=True)
+
+    def warm_step(carry, _):
+        kl, st = carry
+        lp, (gl, gu), _, st = fused_kappa_mse_step_2d(
+            grid, (kl, kl), f2P, g0, uP_data, scale=scale2, iters=32,
+            block_b=8, warm_state=st, return_state=True)
+        return (kl - 10.0 * (gl + gu), st), lp.sum()
+
+    @jax.jit
+    def warm_loop(kl, st):
+        (kl, st), losses = jax.lax.scan(warm_step, (kl, st), None,
+                                        length=24)
+        return kl, losses
+
+    import time as _time
+    klW = jnp.ones_like(klP)
+    out = warm_loop(klW, st0)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        out = warm_loop(klW, st0)
+        jax.block_until_ready(out)
+        best = min(best, (_time.perf_counter() - t0) / 24)
+    results[f"2d_grad_solves_per_s_{n}x{n}_warm32"] = round(Bp / best, 1)
+
+    # Unstructured (arbitrary-connectivity) path at ~4k DOF: edge-ELL CG
+    # (ops/unstructured.py), B=64, 128 fixed iters, fwd+adjoint.
+    from difffe_tpu.ops.unstructured import build_ell, solve_poisson_cg_ell
+    umesh = FEMesh.rectangle(nx=64, ny=64, dtype=jnp.float32)
+    uell = build_ell(umesh)
+    Bu = 64
+    ku = 1.0 + jax.random.uniform(jax.random.PRNGKey(3),
+                                  (Bu, umesh.n_elements), jnp.float32)
+    Fu = jnp.broadcast_to(
+        assemble_load(umesh, jnp.ones(umesh.n_nodes, jnp.float32)),
+        (Bu, umesh.n_nodes))
+    solveU = jax.vmap(lambda k, f_: solve_poisson_cg_ell(
+        umesh, uell, k, f_, 0.0, 128))
+    uU = jax.jit(solveU)(ku, Fu)
+
+    def lossU(k):
+        return jnp.mean((solveU(k, Fu) - uU) ** 2)
+
+    gU = jax.grad(lossU)
+    dtu = per_step_s(lambda k: k - 100.0 * gU(k), ku, length=8)
+    results["unstructured_grad_solves_per_s_4k_dof_B64"] = round(Bu / dtu, 1)
 
     # bf16-inner / f32-refined 2D path (ops/precision.py): reduced-precision
     # throughput at its own accuracy point (~1e-3 rel — see PERFORMANCE.md

@@ -28,6 +28,8 @@ __all__ = [
     "recover_kappa_scalar",
     "recover_kappa_field",
     "train_collocation",
+    "build_ell",
+    "solve_poisson_cg_ell",
 ]
 
 
@@ -48,4 +50,10 @@ def __getattr__(name):
     if name == "train_collocation":
         from .models.collocation import train_collocation
         return train_collocation
+    if name == "build_ell":
+        from .ops.unstructured import build_ell
+        return build_ell
+    if name == "solve_poisson_cg_ell":
+        from .ops.unstructured import solve_poisson_cg_ell
+        return solve_poisson_cg_ell
     raise AttributeError(f"module 'difffe_tpu' has no attribute {name!r}")
