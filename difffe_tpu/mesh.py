@@ -107,12 +107,12 @@ class FEMesh:
         if self.dim == 1:
             d = jnp.abs(nodes[elems[:, 1], 0] - nodes[elems[:, 0], 0])
             return float(jnp.min(d))
-        # 2D triangles: min over the 3 edges of every element
-        p = nodes[elems]  # (ne, 3, 2)
-        e01 = jnp.linalg.norm(p[:, 1] - p[:, 0], axis=-1)
-        e12 = jnp.linalg.norm(p[:, 2] - p[:, 1], axis=-1)
-        e20 = jnp.linalg.norm(p[:, 0] - p[:, 2], axis=-1)
-        return float(jnp.min(jnp.stack([e01, e12, e20])))
+        # 2D/3D simplices: min over all vertex-pair edges of every element
+        p = nodes[elems]  # (ne, k, dim)
+        k = p.shape[1]
+        lengths = [jnp.linalg.norm(p[:, b] - p[:, a], axis=-1)
+                   for a in range(k) for b in range(a + 1, k)]
+        return float(jnp.min(jnp.stack(lengths)))
 
     def __repr__(self) -> str:  # mirrors reference mesh.py:138-143
         return (
@@ -197,6 +197,73 @@ class FEMesh:
         cols = jnp.arange(NX := nx + 1, dtype=jnp.int32)[None, :]
         on_bnd = ((rows == 0) | (rows == ny)
                   | (cols == 0) | (cols == nx)).ravel()
+        bc_mask = on_bnd.astype(dtype)
+        bc_values = bc_mask * jnp.asarray(bc_value, dtype=dtype)
+        return cls(nodes=nodes, elements=elements, bc_mask=bc_mask,
+                   bc_values=bc_values)
+
+    @classmethod
+    def box(
+        cls,
+        nx: int = 4,
+        ny: int = 4,
+        nz: int = 4,
+        x_range: Tuple[float, float] = (0.0, 1.0),
+        y_range: Tuple[float, float] = (0.0, 1.0),
+        z_range: Tuple[float, float] = (0.0, 1.0),
+        bc_value: float = 0.0,
+        dtype: Optional[jnp.dtype] = None,
+    ) -> "FEMesh":
+        """Uniform 3D box mesh of P1 tetrahedra, Dirichlet on all six faces.
+
+        BEYOND the reference: its solver raises NotImplementedError for
+        dim>2 (/root/reference/diffhe/solver.py:62-67) and FEMesh has no 3D
+        factory.  Node id = (iz·(ny+1) + iy)·(nx+1) + ix (x fastest, the 3D
+        extension of the rectangle numbering).  Each cube is split into the
+        SIX Kuhn tetrahedra sharing the main diagonal c000–c111 (one per
+        monotone lattice path 000→111) — a conforming triangulation with
+        equal volumes h³/6, the canonical 3D analogue of the rectangle
+        factory's lower-left diagonal split.  Boundary detection by INDEX
+        (same rationale as ``rectangle``).
+        """
+        dtype = dtype or default_dtype()
+        xs = jnp.linspace(x_range[0], x_range[1], nx + 1, dtype=dtype)
+        ys = jnp.linspace(y_range[0], y_range[1], ny + 1, dtype=dtype)
+        zs = jnp.linspace(z_range[0], z_range[1], nz + 1, dtype=dtype)
+        zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+        nodes = jnp.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=1)
+
+        i = jnp.arange(nx, dtype=jnp.int32)[None, None, :]
+        j = jnp.arange(ny, dtype=jnp.int32)[None, :, None]
+        k = jnp.arange(nz, dtype=jnp.int32)[:, None, None]
+
+        def corner(di, dj, dk):
+            return (((k + dk) * (ny + 1) + (j + dj)) * (nx + 1)
+                    + (i + di)).ravel()
+
+        c = {(di, dj, dk): corner(di, dj, dk)
+             for di in (0, 1) for dj in (0, 1) for dk in (0, 1)}
+        # six monotone paths 000→111; each tet = {000, step1, step2, 111}
+        paths = [
+            ((1, 0, 0), (1, 1, 0)),  # x then y (then z)
+            ((1, 0, 0), (1, 0, 1)),  # x then z
+            ((0, 1, 0), (1, 1, 0)),  # y then x
+            ((0, 1, 0), (0, 1, 1)),  # y then z
+            ((0, 0, 1), (1, 0, 1)),  # z then x
+            ((0, 0, 1), (0, 1, 1)),  # z then y
+        ]
+        tets = [jnp.stack([c[(0, 0, 0)], c[p1], c[p2], c[(1, 1, 1)]], axis=1)
+                for p1, p2 in paths]
+        # interleave per cube: [cube0 tet0..5, cube1 tet0..5, ...]
+        elements = jnp.stack(tets, axis=1).reshape(-1, 4)
+
+        ii = jnp.arange(nx + 1, dtype=jnp.int32)[None, None, :]
+        jj = jnp.arange(ny + 1, dtype=jnp.int32)[None, :, None]
+        kk = jnp.arange(nz + 1, dtype=jnp.int32)[:, None, None]
+        on_bnd = ((ii == 0) | (ii == nx) | (jj == 0) | (jj == ny)
+                  | (kk == 0) | (kk == nz))
+        on_bnd = jnp.broadcast_to(
+            on_bnd, (nz + 1, ny + 1, nx + 1)).ravel()
         bc_mask = on_bnd.astype(dtype)
         bc_values = bc_mask * jnp.asarray(bc_value, dtype=dtype)
         return cls(nodes=nodes, elements=elements, bc_mask=bc_mask,

@@ -66,29 +66,30 @@ def kappa_on_elements(mesh: FEMesh, kappa) -> jax.Array:
 
 
 def is_tensor_kappa(mesh: FEMesh, kappa) -> bool:
-    """True when κ is a 2×2 diffusion tensor (anisotropic −∇·(A∇u) = f):
-    any shape with trailing dims (2, 2) on a 2D mesh."""
+    """True when κ is a dim×dim diffusion tensor (anisotropic −∇·(A∇u) = f):
+    any shape with trailing dims (d, d) on a 2D/3D mesh."""
     shape = jnp.shape(kappa)
-    return mesh.dim == 2 and len(shape) >= 2 and shape[-2:] == (2, 2)
+    d = mesh.dim
+    return d in (2, 3) and len(shape) >= 2 and shape[-2:] == (d, d)
 
 
 def kappa_tensor_on_elements(mesh: FEMesh, A) -> jax.Array:
-    """Normalize a diffusion tensor to per-element ``(n_elements, 2, 2)``.
+    """Normalize a diffusion tensor to per-element ``(n_elements, d, d)``.
 
-    Accepts constant (2, 2), per-element (n_elements, 2, 2), or per-node
-    (n_nodes, 2, 2) (averaged over each element's vertices).
+    Accepts constant (d, d), per-element (n_elements, d, d), or per-node
+    (n_nodes, d, d) (averaged over each element's vertices), d = mesh.dim.
     """
     A = jnp.asarray(A, dtype=mesh.dtype)
-    ne, nn = mesh.n_elements, mesh.n_nodes
+    ne, nn, d = mesh.n_elements, mesh.n_nodes, mesh.dim
     if A.ndim == 2:
-        return jnp.broadcast_to(A, (ne, 2, 2))
+        return jnp.broadcast_to(A, (ne, d, d))
     if A.shape[-3] == ne:
         return A
     if A.shape[-3] == nn:
         return jnp.mean(A[..., mesh.elements, :, :], axis=-3)
     raise ValueError(
         f"tensor kappa shape {A.shape} matches neither "
-        f"(n_elements={ne}, 2, 2) nor (n_nodes={nn}, 2, 2)")
+        f"(n_elements={ne}, {d}, {d}) nor (n_nodes={nn}, {d}, {d})")
 
 
 # --------------------------------------------------------------------------
@@ -117,6 +118,54 @@ def element_geometry_2d(mesh: FEMesh):
     b = jnp.stack([yj - yk, yk - yi, yi - yj], axis=1)  # (ne, 3)
     c = jnp.stack([xk - xj, xi - xk, xj - xi], axis=1)  # (ne, 3)
     return b, c, area
+
+
+def element_geometry_3d(mesh: FEMesh):
+    """P1 tetrahedron geometry: (grads, volume).
+
+    grads: (n_elements, 4, 3) — constant basis gradients ∇φ_p on each tet,
+    from the edge-vector cross-product closed form (no linalg.inv):
+    with e_i = p_i − p_0, det = e_1·(e_2×e_3), V = |det|/6,
+    ∇φ_1 = (e_2×e_3)/det, ∇φ_2 = (e_3×e_1)/det, ∇φ_3 = (e_1×e_2)/det,
+    ∇φ_0 = −(∇φ_1+∇φ_2+∇φ_3).  Degenerate tets (|det| < tol) are
+    ``where``-guarded, matching the 2D degenerate-area semantics
+    (reference solver.py:120-121 — the reference itself has NO 3D support:
+    its forward() raises for dim>2, /root/reference/diffhe/solver.py:62-67).
+    volume: (n_elements,) unsigned.
+    """
+    p = mesh.nodes[mesh.elements]          # (ne, 4, 3)
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    e3 = p[:, 3] - p[:, 0]
+    c23 = jnp.cross(e2, e3)
+    det = jnp.sum(e1 * c23, axis=-1)       # (ne,)
+    vol = jnp.abs(det) / 6.0
+    degenerate = jnp.abs(det) < DEGENERATE_AREA_TOL
+    safe_det = jnp.where(degenerate, 1.0, det)[:, None]
+    g1 = c23 / safe_det
+    g2 = jnp.cross(e3, e1) / safe_det
+    g3 = jnp.cross(e1, e2) / safe_det
+    g0 = -(g1 + g2 + g3)
+    grads = jnp.stack([g0, g1, g2, g3], axis=1)   # (ne, 4, 3)
+    grads = jnp.where(degenerate[:, None, None], 0.0, grads)
+    return grads, vol
+
+
+def local_stiffness_3d(mesh: FEMesh, kappa) -> jax.Array:
+    """Per-element 4×4 tet stiffness blocks ``(n_elements, 4, 4)``.
+
+    Scalar/field κ: K_e[p,q] = κ_e V_e ∇φ_p·∇φ_q.  Tensor κ (trailing
+    (3, 3)): K_e[p,q] = V_e ∇φ_p A_e ∇φ_q.  Degenerate tets contribute
+    nothing (grads already zeroed in element_geometry_3d).
+    """
+    grads, vol = element_geometry_3d(mesh)
+    if is_tensor_kappa(mesh, kappa):
+        A = kappa_tensor_on_elements(mesh, kappa)       # (ne, 3, 3)
+        gram = jnp.einsum("epi,eij,eqj->epq", grads, A, grads)
+        return vol[:, None, None] * gram
+    ke = kappa_on_elements(mesh, kappa)
+    gram = jnp.einsum("epi,eqi->epq", grads, grads)
+    return (ke * vol)[:, None, None] * gram
 
 
 def local_stiffness_2d(mesh: FEMesh, kappa) -> jax.Array:
@@ -150,7 +199,8 @@ def local_stiffness_2d(mesh: FEMesh, kappa) -> jax.Array:
 # --------------------------------------------------------------------------
 
 def element_family(mesh: FEMesh) -> str:
-    """'p1_line' | 'p2_line' | 'p1_tri' | 'p2_tri' from (dim, nodes/elem)."""
+    """'p1_line' | 'p2_line' | 'p1_tri' | 'p2_tri' | 'p1_tet' from
+    (dim, nodes/elem)."""
     npe = mesh.elements.shape[1]
     if mesh.dim == 1 and npe == 2:
         return "p1_line"
@@ -160,6 +210,8 @@ def element_family(mesh: FEMesh) -> str:
         return "p1_tri"
     if mesh.dim == 2 and npe == 6:
         return "p2_tri"
+    if mesh.dim == 3 and npe == 4:
+        return "p1_tet"
     raise NotImplementedError(
         f"unsupported element family: dim={mesh.dim}, nodes/elem={npe}")
 
@@ -188,6 +240,8 @@ def local_stiffness(mesh: FEMesh, kappa) -> jax.Array:
         return local_stiffness_p2_1d(mesh, kappa)
     if fam == "p1_tri":
         return local_stiffness_2d(mesh, kappa)
+    if fam == "p1_tet":
+        return local_stiffness_3d(mesh, kappa)
     from .p2 import local_stiffness_p2_2d
     return local_stiffness_p2_2d(mesh, kappa)
 
@@ -236,6 +290,16 @@ def assemble_load(mesh: FEMesh, f: jax.Array) -> jax.Array:
         contrib = (area / 3.0) * f_centroid           # (..., ne)
         F = jnp.zeros(f.shape[:-1] + (n,), dtype=mesh.dtype)
         for p in range(3):
+            F = F.at[..., mesh.elements[:, p]].add(contrib)
+        return F
+    if fam == "p1_tet":
+        # centroid rule, 3D analogue of the reference's 2D load
+        # (solver.py:142-145): F_p += V_e/4 · mean(f over the 4 vertices)
+        _, vol = element_geometry_3d(mesh)
+        fe = f[..., mesh.elements]                    # (..., ne, 4)
+        contrib = (vol / 4.0) * jnp.mean(fe, axis=-1)
+        F = jnp.zeros(f.shape[:-1] + (n,), dtype=mesh.dtype)
+        for p in range(4):
             F = F.at[..., mesh.elements[:, p]].add(contrib)
         return F
     from .p2 import load_p2_2d

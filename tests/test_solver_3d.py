@@ -1,0 +1,206 @@
+"""3D P1 tetrahedral FEM — BEYOND the reference.
+
+The reference has no 3D support at all: ``DifferentiableFESolver.forward``
+raises NotImplementedError for dim>2 (/root/reference/diffhe/solver.py:62-67)
+and FEMesh has only line/rectangle factories (mesh.py:58-121).  These tests
+replicate the reference's 1D/2D test *strategy* (SURVEY.md §4: mesh
+invariants, method-of-manufactured-solutions exactness, convergence-rate
+ratio >3 per doubling, gradient-flow) on the new tet family.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu import FEMesh
+from difffe_tpu.solver import solve_poisson, solve_poisson_batched
+from difffe_tpu.ops.assembly import (
+    assemble_load,
+    assemble_lumped_mass,
+    assemble_stiffness_dense,
+    element_family,
+    element_geometry_3d,
+    local_stiffness_3d,
+)
+
+
+@pytest.fixture(scope="module")
+def box_333():
+    return FEMesh.box(3, 3, 3)
+
+
+@pytest.fixture(scope="module")
+def box_444():
+    return FEMesh.box(4, 4, 4)
+
+
+class TestBoxMesh:
+    def test_counts(self, box_333):
+        # (n+1)^3 nodes, 6 n^3 tets
+        assert box_333.n_nodes == 64
+        assert box_333.n_elements == 6 * 27
+        assert box_333.dim == 3
+        assert element_family(box_333) == "p1_tet"
+
+    def test_boundary_nodes(self, box_333):
+        # interior of a 4^3 lattice is 2^3 = 8 nodes
+        assert box_333.n_dirichlet == 64 - 8
+        # all six faces constrained
+        nodes = np.asarray(box_333.nodes)
+        mask = np.asarray(box_333.bc_mask) > 0.5
+        for d in range(3):
+            for v in (0.0, 1.0):
+                face = np.isclose(nodes[:, d], v)
+                assert mask[face].all()
+
+    def test_volumes_tile_the_box(self, box_333):
+        _, vol = element_geometry_3d(box_333)
+        np.testing.assert_allclose(float(vol.sum()), 1.0, rtol=1e-12)
+        # Kuhn tets all have equal volume h^3/6
+        np.testing.assert_allclose(
+            np.asarray(vol), (1.0 / 3.0) ** 3 / 6.0, rtol=1e-12)
+
+    def test_h(self, box_333):
+        # shortest edge of a Kuhn tet is the cube edge h
+        np.testing.assert_allclose(box_333.h(), 1.0 / 3.0, rtol=1e-12)
+
+    def test_conforming_partition_of_unity(self, box_333):
+        # sum of local load contributions for f=1 must equal the volume
+        F = assemble_load(box_333, jnp.ones(box_333.n_nodes))
+        np.testing.assert_allclose(float(F.sum()), 1.0, rtol=1e-12)
+
+    def test_stiffness_rows_sum_to_zero(self, box_333):
+        # constants are in the kernel of the (un-eliminated) stiffness
+        K = assemble_stiffness_dense(box_333, 1.3)
+        np.testing.assert_allclose(
+            np.asarray(K.sum(axis=1)), 0.0, atol=1e-12)
+
+    def test_lumped_mass_positive_totals_volume(self, box_444):
+        M = assemble_lumped_mass(box_444)
+        assert float(M.min()) > 0.0
+        np.testing.assert_allclose(float(M.sum()), 1.0, rtol=1e-12)
+
+
+class TestSolve3D:
+    def test_linear_exactness(self, box_333):
+        # P1 reproduces affine fields exactly (the 3D analogue of the
+        # reference's polynomial-exactness tests, test_fem.py:85-104)
+        x, y, z = (box_333.nodes[:, i] for i in range(3))
+        uex = 1.0 + x + 2.0 * y + 3.0 * z
+        u = solve_poisson(box_333, 1.0, jnp.zeros(box_333.n_nodes),
+                          bc_values=uex)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(uex), atol=1e-10)
+
+    def test_convergence_order(self):
+        # u = sin(pi x) sin(pi y) sin(pi z), f = 3 pi^2 u; O(h^2) nodal error
+        # (reference pattern: ratio > 3.0 per mesh doubling, test_fem.py:114-132)
+        errs = []
+        for n in (4, 8, 16):
+            m = FEMesh.box(n, n, n)
+            x, y, z = (m.nodes[:, i] for i in range(3))
+            ue = (jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+                  * jnp.sin(jnp.pi * z))
+            f = 3.0 * jnp.pi ** 2 * ue
+            u = solve_poisson(m, 1.0, f)
+            errs.append(float(jnp.abs(u - ue).max()))
+        assert errs[0] / errs[1] > 3.0
+        assert errs[1] / errs[2] > 3.0
+
+    def test_maximum_principle(self, box_444):
+        # f >= 0, zero BCs -> u >= 0, interior strictly positive
+        u = solve_poisson(box_444, 1.0, jnp.ones(box_444.n_nodes))
+        assert float(u.min()) >= -1e-12
+        interior = np.asarray(box_444.bc_mask) < 0.5
+        assert np.asarray(u)[interior].min() > 0.0
+
+    def test_cg_matches_dense(self, box_444):
+        f = jnp.ones(box_444.n_nodes)
+        ud = solve_poisson(box_444, 1.7, f, method="dense")
+        uc = solve_poisson(box_444, 1.7, f, method="cg")
+        np.testing.assert_allclose(np.asarray(uc), np.asarray(ud), atol=1e-8)
+
+    def test_tensor_kappa_identity_equals_scalar(self, box_444):
+        f = jnp.ones(box_444.n_nodes)
+        uT = solve_poisson(box_444, jnp.eye(3), f, method="dense")
+        uS = solve_poisson(box_444, 1.0, f, method="dense")
+        np.testing.assert_allclose(np.asarray(uT), np.asarray(uS), atol=1e-12)
+
+    def test_anisotropic_tensor_spd_solve(self, box_444):
+        # diag(1, 2, 4) stretches diffusion; solve must stay bounded and
+        # dominated by the fastest-diffusing axis (smaller u than isotropic 1)
+        f = jnp.ones(box_444.n_nodes)
+        uA = solve_poisson(box_444, jnp.diag(jnp.array([1.0, 2.0, 4.0])), f,
+                           method="dense")
+        uS = solve_poisson(box_444, 1.0, f, method="dense")
+        assert float(uA.max()) < float(uS.max())
+        assert float(uA.min()) >= -1e-12
+
+    def test_per_element_kappa(self, box_444):
+        ke = jnp.linspace(1.0, 2.0, box_444.n_elements)
+        f = jnp.ones(box_444.n_nodes)
+        ud = solve_poisson(box_444, ke, f, method="dense")
+        uc = solve_poisson(box_444, ke, f, method="cg")
+        np.testing.assert_allclose(np.asarray(uc), np.asarray(ud), atol=1e-8)
+
+
+class TestGradients3D:
+    def test_gradient_flows_to_kappa(self, box_444):
+        # reference test_gradient_flows pattern (test_fem.py:144-155)
+        f = jnp.ones(box_444.n_nodes)
+        u_data = solve_poisson(box_444, 2.0, f)
+
+        def loss(kap):
+            return jnp.mean((solve_poisson(box_444, kap, f) - u_data) ** 2)
+
+        g = jax.grad(loss)(1.0)
+        assert np.isfinite(float(g))
+        assert abs(float(g)) > 1e-10
+        # moving toward the truth must decrease the loss
+        assert float(g) < 0.0
+
+    def test_kappa_recovery(self, box_333):
+        # scalar-kappa inverse problem (the demo's workload, 3D version)
+        f = jnp.ones(box_333.n_nodes)
+        u_data = solve_poisson(box_333, 2.0, f)
+
+        def loss(log_k):
+            u = solve_poisson(box_333, jnp.exp(log_k), f)
+            return jnp.mean((u - u_data) ** 2)
+
+        # scalar Newton through the solve (second-order autodiff through
+        # the custom_vjp adjoint — the repo's "Newton polish" convention)
+        grad = jax.jit(jax.grad(loss))
+        hess = jax.jit(jax.grad(jax.grad(loss)))
+        lk = 0.0
+        for _ in range(20):
+            lk = lk - float(grad(lk)) / max(float(hess(lk)), 1e-30)
+        assert abs(float(jnp.exp(lk)) - 2.0) < 1e-6
+
+    def test_gradient_parity_cg_vs_dense(self, box_444):
+        f = jnp.ones(box_444.n_nodes)
+        u_data = solve_poisson(box_444, 2.0, f)
+        ke = jnp.full((box_444.n_elements,), 1.3, dtype=box_444.dtype)
+
+        def loss(method):
+            def fn(k):
+                u = solve_poisson(box_444, k, f, method=method,
+                                  cg_tol=0.0, cg_maxiter=400)
+                return jnp.mean((u - u_data) ** 2)
+            return fn
+
+        gd = jax.grad(loss("dense"))(ke)
+        gc = jax.grad(loss("cg"))(ke)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
+                                   rtol=1e-6, atol=1e-12)
+
+    def test_batched_scenarios(self, box_333):
+        # per-scenario scalar kappa batch through the batched facade
+        f = jnp.ones(box_333.n_nodes)
+        kappas = jnp.array([1.0, 2.0, 4.0])
+        ub = solve_poisson_batched(box_333, kappas, f, kappa_batched=True)
+        assert ub.shape == (3, box_333.n_nodes)
+        for b, k in enumerate(kappas):
+            u1 = solve_poisson(box_333, k, f)
+            np.testing.assert_allclose(np.asarray(ub[b]), np.asarray(u1),
+                                       atol=1e-8)
