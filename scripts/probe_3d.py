@@ -1,0 +1,85 @@
+"""TPU probe: batched 3D tetrahedral grad-solve throughput.
+
+3D is BEYOND the reference (its solver raises for dim>2,
+/root/reference/diffhe/solver.py:62-67).  Measures the per-element-κ
+field-inversion grad step (fwd CG + adjoint CG + residual-map VJP) on a
+Kuhn box mesh through both general paths:
+
+  * element_apply gather/scatter CG (ops/cg.py:solve_poisson_cg)
+  * edge-ELL gather-only CG (ops/unstructured.py) — tables are
+    family-generic (tets: Dn=14 neighbors, T=6 tets/edge)
+
+Timing is the honest chained protocol: a jitted lax.scan of SGD steps
+where step t+1 consumes step t's κ (CLAUDE.md 'TIMING LIES').
+
+Run:  python scripts/probe_3d.py [n] [B] [iters]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.cg import solve_poisson_cg
+    from difffe_tpu.ops.unstructured import build_ell, solve_poisson_cg_ell
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    mesh = FEMesh.box(n, n, n, dtype=jnp.float32)
+    ne = mesh.n_elements
+    print(f"box({n}^3): {mesh.n_nodes} nodes, {ne} tets, B={B}, "
+          f"{iters} fixed CG iters", flush=True)
+
+    xyz = mesh.nodes
+    pi = jnp.pi
+    f = (3 * pi ** 2 * jnp.sin(pi * xyz[:, 0]) * jnp.sin(pi * xyz[:, 1])
+         * jnp.sin(pi * xyz[:, 2])).astype(jnp.float32)
+    F = jnp.broadcast_to(assemble_load(mesh, f), (B, mesh.n_nodes))
+    k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B, ne),
+                                      jnp.float32)
+
+    def run_path(solve, tag):
+        solveB = jax.vmap(solve)
+        u_data = jax.jit(solveB)(k_true, F)
+        jax.block_until_ready(u_data)
+
+        def loss(kk):
+            return jnp.mean((solveB(kk, F) - u_data) ** 2)
+
+        g = jax.grad(loss)
+
+        def step(k, _):
+            return k - 100.0 * g(k), 0.0
+
+        @jax.jit
+        def loop(k):
+            k, _ = jax.lax.scan(step, k, None, length=10)
+            return k
+
+        k0 = jnp.ones((B, ne), jnp.float32)
+        out = loop(k0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = loop(k0)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 10
+        ok = bool(jnp.isfinite(out).all())
+        print(f"  {tag}: {B/dt:10,.0f} grad-solves/s "
+              f"({dt*1e3:.1f} ms/step, finite={ok})", flush=True)
+        return B / dt
+
+    run_path(lambda kk, FF: solve_poisson_cg(mesh, kk, FF, 0.0, iters),
+             "element_apply gather/scatter CG")
+    ell = build_ell(mesh)
+    run_path(lambda kk, FF: solve_poisson_cg_ell(mesh, ell, kk, FF, 0.0,
+                                                 iters),
+             "edge-ELL gather-only CG        ")
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,34 @@ class TestGradients3D:
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
                                    rtol=1e-6, atol=1e-12)
 
+    def test_edge_ell_parity_3d(self, box_444):
+        # the gather-only unstructured operator (ops/unstructured.py) is
+        # family-generic: tables sized from the data (Kuhn tets: Dn=14,
+        # T=6 tets/edge, Di=24).  Apply/solve/grad parity vs dense.
+        from difffe_tpu.ops.assembly import stiffness_apply
+        from difffe_tpu.ops.unstructured import (
+            build_ell, ell_apply, solve_poisson_cg_ell)
+        m = box_444
+        ell = build_ell(m)
+        ke = 1.0 + (jnp.arange(m.n_elements) % 5) * 0.1
+        w = jnp.sin(jnp.arange(m.n_nodes, dtype=m.dtype))
+        np.testing.assert_allclose(
+            np.asarray(ell_apply(m, ell, ke, w)),
+            np.asarray(stiffness_apply(m, ke, w)), atol=1e-12)
+        f = jnp.ones(m.n_nodes)
+        F = assemble_load(m, f)
+        ue = solve_poisson_cg_ell(m, ell, ke, F, 0.0, 400)
+        ud = solve_poisson(m, ke, f, method="dense")
+        np.testing.assert_allclose(np.asarray(ue), np.asarray(ud),
+                                   atol=1e-10)
+        u_data = solve_poisson(m, 2.0, f)
+        ge = jax.grad(lambda k: jnp.mean(
+            (solve_poisson_cg_ell(m, ell, k, F, 0.0, 400) - u_data) ** 2))(ke)
+        gd = jax.grad(lambda k: jnp.mean(
+            (solve_poisson(m, k, f, method="dense") - u_data) ** 2))(ke)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gd),
+                                   rtol=1e-6, atol=1e-15)
+
     def test_batched_scenarios(self, box_333):
         # per-scenario scalar kappa batch through the batched facade
         f = jnp.ones(box_333.n_nodes)
