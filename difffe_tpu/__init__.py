@@ -30,6 +30,10 @@ __all__ = [
     "train_collocation",
     "build_ell",
     "solve_poisson_cg_ell",
+    "StructuredGrid3",
+    "solve_poisson_structured_3d",
+    "solve_poisson_structured_3d_batched",
+    "choose_3d_path",
 ]
 
 
@@ -56,4 +60,8 @@ def __getattr__(name):
     if name == "solve_poisson_cg_ell":
         from .ops.unstructured import solve_poisson_cg_ell
         return solve_poisson_cg_ell
+    if name in ("StructuredGrid3", "solve_poisson_structured_3d",
+                "solve_poisson_structured_3d_batched", "choose_3d_path"):
+        from .ops import stencil3d
+        return getattr(stencil3d, name)
     raise AttributeError(f"module 'difffe_tpu' has no attribute {name!r}")

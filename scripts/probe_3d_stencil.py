@@ -1,0 +1,80 @@
+"""TPU probe: batched 3D grad-solve throughput on the 7-point stencil path.
+
+Compares ops/stencil3d.py (closed-form 7-point, roll-based matvec — the
+FEMesh.box production path) against the general element/edge-ELL numbers
+from scripts/probe_3d.py on the same workload: per-tet-κ field-inversion
+grad step (fwd CG + adjoint CG + closed-form residual VJP).
+
+Timing is the honest chained protocol: a jitted lax.scan of SGD steps
+where step t+1 consumes step t's κ (CLAUDE.md 'TIMING LIES').
+
+Run:  python scripts/probe_3d_stencil.py [n] [B] [iters]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.ops.stencil3d import (
+        StructuredGrid3, solve_poisson_structured_3d,
+        solve_poisson_structured_3d_batched)
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    grid = StructuredGrid3.unit(n, n, n)
+    print(f"box({n}^3): {(n+1)**3} nodes, {grid.n_elements} tets, B={B}, "
+          f"{iters} fixed CG iters", flush=True)
+
+    zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+    pi = jnp.pi
+    f = (3 * pi ** 2 * jnp.sin(pi * xx) * jnp.sin(pi * yy)
+         * jnp.sin(pi * zz)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f, (B,) + grid.node_shape)
+    g0 = jnp.zeros(grid.node_shape, jnp.float32)
+    k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0),
+                                      (B, grid.n_elements), jnp.float32)
+
+    paths = {
+        "vmap batch-leading": jax.vmap(
+            lambda k, ff: solve_poisson_structured_3d(
+                grid, k, ff, g0, 0.0, iters)),
+        "batch-minor (SoA) ": lambda k, ff:
+            solve_poisson_structured_3d_batched(grid, k, ff, g0, 0.0, iters),
+    }
+    nsteps = 10
+    for tag, solveB in paths.items():
+        u_data = jax.jit(solveB)(k_true, fB)
+        jax.block_until_ready(u_data)
+
+        def loss(kk):
+            return jnp.mean((solveB(kk, fB) - u_data) ** 2)
+
+        g = jax.grad(loss)
+
+        def step(k, _):
+            return k - 100.0 * g(k), 0.0
+
+        @jax.jit
+        def loop(k):
+            k, _ = jax.lax.scan(step, k, None, length=nsteps)
+            return k
+
+        k0 = jnp.ones((B, grid.n_elements), jnp.float32)
+        out = loop(k0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = loop(k0)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / nsteps
+        ok = bool(jnp.isfinite(out).all())
+        print(f"  {tag}: {B/dt:10,.0f} grad-solves/s "
+              f"({dt*1e3:.1f} ms/step, finite={ok})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -255,3 +255,44 @@ def test_boundary_mask_matches_mesh():
     m = boundary_mask_box(grid, jnp.float64)
     np.testing.assert_array_equal(np.array(m).ravel(),
                                   np.array(mesh.bc_mask))
+
+
+def test_batched_batch_minor_matches_vmap():
+    from difffe_tpu.ops.stencil3d import (
+        choose_3d_path, solve_poisson_structured_3d_batched)
+    nx = ny = nz = 4
+    grid = StructuredGrid3.unit(nx, ny, nz)
+    B = 3
+    rng = np.random.default_rng(8)
+    kappa = jnp.asarray(rng.uniform(0.5, 2.0, (B, grid.n_elements)))
+    f = jnp.asarray(rng.normal(size=(B,) + grid.node_shape))
+    g0 = jnp.zeros(grid.node_shape)
+    uV = jax.vmap(lambda k, ff: solve_poisson_structured_3d(
+        grid, k, ff, g0, 0.0, 80))(kappa, f)
+    uB = solve_poisson_structured_3d_batched(grid, kappa, f, g0, 0.0, 80)
+    np.testing.assert_allclose(np.array(uB), np.array(uV), atol=1e-13)
+
+    tgt = jnp.asarray(rng.normal(size=(B,) + grid.node_shape))
+
+    def lossB(k, ff, g_):
+        u = solve_poisson_structured_3d_batched(grid, k, ff, g_, 0.0, 80)
+        return jnp.mean((u - tgt) ** 2)
+
+    def lossV(k, ff, g_):
+        u = jax.vmap(lambda kk, fff: solve_poisson_structured_3d(
+            grid, kk, fff, g_, 0.0, 80))(k, ff)
+        return jnp.mean((u - tgt) ** 2)
+
+    gB = jax.grad(lossB, argnums=(0, 1, 2))(kappa, f, g0)
+    gV = jax.grad(lossV, argnums=(0, 1, 2))(kappa, f, g0)
+    for a, b in zip(gB, gV):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-14)
+
+    # dispatch: both regimes return working callables
+    for Bp in (3, 256):
+        solve = choose_3d_path(grid, Bp)
+        kk = jnp.broadcast_to(kappa[:1], (2, grid.n_elements))
+        ff = jnp.broadcast_to(f[:1], (2,) + grid.node_shape)
+        u = solve(kk, ff, g0, 0.0, 40)
+        assert u.shape == (2,) + grid.node_shape
+        assert bool(jnp.isfinite(u).all())
