@@ -204,6 +204,31 @@ def main():
     dtu = per_step_s(lambda k: k - 100.0 * gU(k), ku, length=8)
     results["unstructured_grad_solves_per_s_4k_dof_B64"] = round(Bu / dtu, 1)
 
+    # 3D box path (ops/stencil3d.py): 7-pt stencil grad step at 16^3,
+    # B=256, 100 fixed iters, batch-minor layout (choose_3d_path rule).
+    from difffe_tpu.ops.stencil3d import (StructuredGrid3,
+                                          solve_poisson_structured_3d_batched)
+    g3 = StructuredGrid3.unit(16, 16, 16)
+    B3 = 256
+    zs3 = jnp.linspace(0, 1, 17, jnp.float32)
+    zz3, yy3, xx3 = jnp.meshgrid(zs3, zs3, zs3, indexing="ij")
+    f3 = (3 * jnp.pi ** 2 * jnp.sin(jnp.pi * xx3) * jnp.sin(jnp.pi * yy3)
+          * jnp.sin(jnp.pi * zz3)).astype(jnp.float32)
+    f3B = jnp.broadcast_to(f3, (B3,) + g3.node_shape)
+    g30 = jnp.zeros(g3.node_shape, jnp.float32)
+    k3t = 1.0 + jax.random.uniform(jax.random.PRNGKey(5),
+                                   (B3, g3.n_elements), jnp.float32)
+    solve3 = lambda k: solve_poisson_structured_3d_batched(  # noqa: E731
+        g3, k, f3B, g30, 0.0, 100)
+    u3 = jax.jit(solve3)(k3t)
+
+    def loss3(k):
+        return jnp.mean((solve3(k) - u3) ** 2)
+
+    g3fn = jax.grad(loss3)
+    dt3 = per_step_s(lambda k: k - 100.0 * g3fn(k), k3t, length=8)
+    results["3d_grad_solves_per_s_16cube_B256"] = round(B3 / dt3, 1)
+
     # bf16-inner / f32-refined 2D path (ops/precision.py): reduced-precision
     # throughput at its own accuracy point (~1e-3 rel — see PERFORMANCE.md
     # precision table).

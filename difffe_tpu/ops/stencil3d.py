@@ -480,16 +480,17 @@ def _bm_dot(u, v):
     return jnp.sum(u * v, axis=(0, 1, 2), keepdims=True)
 
 
-def _bm_solve(grid, C, m, f, g, tol, maxiter):
+def _bm_solve(grid, C, m, f, g, tol, maxiter, x0=None):
     p = 1.0 - m
     F = _bm_load(grid, f)
     b = m * g + p * (F - _bm_apply(C, m * g))
     diagA = m + p * C[0]
     Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    if x0 is None:
+        x0 = jnp.broadcast_to(m * g, b.shape)
     from .pcg import pcg
     return pcg(lambda v: m * v + p * _bm_apply(C, p * v), b,
-               lambda r: Minv * r, jnp.broadcast_to(m * g, b.shape),
-               tol, maxiter, dot=_bm_dot)
+               lambda r: Minv * r, x0, tol, maxiter, dot=_bm_dot)
 
 
 def _bm_prep(grid, kappa, f, g, dtype):
@@ -561,6 +562,61 @@ def _bwd_b(grid, tol, maxiter, res, gbar):
 
 
 solve_poisson_structured_3d_batched.defvjp(_fwd_b, _bwd_b)
+
+
+def kappa_mse_grad_step_3d(grid: StructuredGrid3, kappa, f, g, u_data,
+                           iters: int, warm_state=None,
+                           return_state: bool = False):
+    """One κ-inversion gradient step: loss = mean((u(κ) − u_data)²),
+    returns (loss, ∂loss/∂κ) — with optional CG **warm starts**.
+
+    The 3D analogue of the 2D warm-start lever (stencil_cg_kernel.py
+    ``warm_state``): in an SGD loop κ moves O(lr) per step, so threading
+    the previous step's (u, λ) through the scan as the next step's CG
+    initial guesses buys the same converged loss at a fraction of the
+    per-step iterations (measured: scripts/probe_3d_warm.py).  Pass
+    ``warm_state=<previous step's returned state>`` and
+    ``return_state=True`` to receive the new state (an opaque
+    batch-minor pair — thread it, don't consume it).
+
+    Gradients are computed by the same IFT adjoint as the custom_vjp
+    solve (one adjoint CG on the self-adjoint operator + the closed-form
+    κ contraction) — this is a step FUNCTION (loss, grad), not a
+    differentiable primitive, exactly like the fused 1D/2D kernels.
+    Batched: kappa (B, ne) flat or (B, nz, ny, nx, 6); f, u_data
+    (B,) + node grid; g a node grid.  Batch-minor internally.
+    """
+    C, m, fbm, gbm = _bm_prep(grid, kappa, f, g, f.dtype)
+    p = 1.0 - m
+    if warm_state is None:
+        x0 = l0 = None
+    else:
+        x0, l0 = warm_state  # opaque batch-minor state — thread, don't touch
+    ubm = _bm_solve(grid, C, m, fbm, gbm, 0.0, iters, x0=x0)
+    udbm = jnp.moveaxis(u_data, 0, -1)
+    diff = ubm - udbm
+    numel = diff.size
+    loss = jnp.sum(diff * diff) / numel
+    rbar = (2.0 / numel) * diff
+    diagA = m + p * C[0]
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    from .pcg import pcg
+    lam = pcg(lambda v: m * v + p * _bm_apply(C, p * v), rbar,
+              lambda r: Minv * r,
+              l0 if l0 is not None else jnp.zeros_like(rbar),
+              0.0, iters, dot=_bm_dot)
+    w = m * gbm + p * ubm
+    gk6 = -_bm_kappa_grad(grid, p * lam, w)
+    gk = jnp.moveaxis(gk6, -1, 0)
+    ka = jnp.asarray(kappa)
+    if not (ka.ndim >= 5 and ka.shape[-1] == 6):
+        gk = gk.reshape((gk.shape[0], grid.n_elements))
+    if return_state:
+        # state stays batch-minor: it is an OPAQUE carry for the next
+        # step's warm start (re-transposing every step would cost ~25%,
+        # measured) — don't consume it as node grids.
+        return loss, gk, (ubm, lam)
+    return loss, gk
 
 
 def choose_3d_path(grid: StructuredGrid3, batch: int):

@@ -1,0 +1,94 @@
+"""TPU probe: the 3D iteration-count lever (warm-started CG grad steps).
+
+SGD per-tet-κ inversion at 16³ on the 7-point stencil batch-minor path
+(ops/stencil3d.py:kappa_mse_grad_step_3d), comparing cold fixed-100-iter
+steps against warm-started K-iteration steps (state threaded through the
+SGD scan) — the 3D analogue of scripts/probe_2d_warm.py.  Accuracy is
+gated on the CONVERGED loss (a separate 300-iter cold solve at the final
+κ), because the in-loop loss uses the step's own possibly-unconverged u.
+
+Timing is inherently chained: the SGD scan is data-dependent step to
+step, jitted once, host-fetched at the end.
+
+Run:  python scripts/probe_3d_warm.py [n] [B] [steps] [lr]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from difffe_tpu.ops.stencil3d import (
+        StructuredGrid3, kappa_mse_grad_step_3d,
+        solve_poisson_structured_3d_batched)
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    lr = float(sys.argv[4]) if len(sys.argv) > 4 else 100.0
+    grid = StructuredGrid3.unit(n, n, n)
+    print(f"box({n}^3) B={B} steps={steps} lr={lr}", flush=True)
+
+    zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+    pi = jnp.pi
+    f = (3 * pi ** 2 * jnp.sin(pi * xx) * jnp.sin(pi * yy)
+         * jnp.sin(pi * zz)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f, (B,) + grid.node_shape)
+    g0 = jnp.zeros(grid.node_shape, jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, grid.n_elements), jnp.float32)
+    u_data = jax.jit(lambda kt: solve_poisson_structured_3d_batched(
+        grid, kt, fB, g0, 0.0, 300))(k_true)
+    jax.block_until_ready(u_data)
+
+    @jax.jit
+    def eval_loss(k):
+        u = solve_poisson_structured_3d_batched(grid, k, fB, g0, 0.0, 300)
+        return jnp.mean((u - u_data) ** 2)
+
+    def run(iters, warm):
+        k0 = jnp.ones((B, grid.n_elements), jnp.float32)
+        _, g_cold, state0 = kappa_mse_grad_step_3d(
+            grid, k0, fB, g0, u_data, iters, return_state=True)
+        k_init = k0 - lr * g_cold
+
+        def body(carry, _):
+            k, state = carry
+            loss, gk, state = kappa_mse_grad_step_3d(
+                grid, k, fB, g0, u_data, iters,
+                warm_state=state if warm else None, return_state=True)
+            return (k - lr * gk, state), loss
+
+        @jax.jit
+        def loop(k, state):
+            (k, state), losses = jax.lax.scan(body, (k, state), None,
+                                              length=steps)
+            return k, losses
+
+        k, losses = loop(k_init, state0)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        k, losses = loop(k_init, state0)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / steps
+        tru = float(eval_loss(k))
+        kerr = float(jnp.max(jnp.abs(k - k_true)) / jnp.max(jnp.abs(k_true)))
+        print(f"iters={iters:4d} warm={int(warm)}  "
+              f"{B/dt:10,.0f} grad-solves/s  loop_loss={float(losses[-1]):.4e}"
+              f"  eval_loss={tru:.4e}  kappa_rel_err={kerr:.3e}", flush=True)
+
+    ladder = [(100, False), (16, False), (8, True), (8, False),
+              (4, True), (4, False), (2, True)]
+    if len(sys.argv) > 5:        # e.g. "200:0,64:1,64:0,32:1,32:0"
+        ladder = [(int(a), bool(int(b))) for a, b in
+                  (pair.split(":") for pair in sys.argv[5].split(","))]
+    for iters, warm in ladder:
+        run(iters, warm)
+
+
+if __name__ == "__main__":
+    main()

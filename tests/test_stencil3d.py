@@ -296,3 +296,33 @@ def test_batched_batch_minor_matches_vmap():
         u = solve(kk, ff, g0, 0.0, 40)
         assert u.shape == (2,) + grid.node_shape
         assert bool(jnp.isfinite(u).all())
+
+
+def test_kappa_mse_grad_step_matches_autodiff():
+    from difffe_tpu.ops.stencil3d import (
+        kappa_mse_grad_step_3d, solve_poisson_structured_3d_batched)
+    grid = StructuredGrid3.unit(4, 4, 4)
+    B = 3
+    rng = np.random.default_rng(9)
+    kappa = jnp.asarray(rng.uniform(0.5, 2.0, (B, grid.n_elements)))
+    f = jnp.asarray(rng.normal(size=(B,) + grid.node_shape))
+    g0 = jnp.zeros(grid.node_shape)
+    u_data = jnp.asarray(rng.normal(size=(B,) + grid.node_shape))
+
+    def loss_ref(kk):
+        u = solve_poisson_structured_3d_batched(grid, kk, f, g0, 0.0, 125)
+        return jnp.mean((u - u_data) ** 2)
+
+    L_ref, G_ref = jax.value_and_grad(loss_ref)(kappa)
+    L, G = kappa_mse_grad_step_3d(grid, kappa, f, g0, u_data, 125)
+    np.testing.assert_allclose(float(L), float(L_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.array(G), np.array(G_ref), atol=1e-18)
+
+    # warm state is an opaque carry: at full convergence a warm step with
+    # few iterations reproduces the converged (loss, grad)
+    L2, G2, st = kappa_mse_grad_step_3d(grid, kappa, f, g0, u_data, 125,
+                                        return_state=True)
+    L3, G3 = kappa_mse_grad_step_3d(grid, kappa, f, g0, u_data, 3,
+                                    warm_state=st)
+    np.testing.assert_allclose(float(L3), float(L), rtol=1e-10)
+    np.testing.assert_allclose(np.array(G3), np.array(G), atol=1e-16)
