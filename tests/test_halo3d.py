@@ -1,0 +1,106 @@
+"""3D z-plane halo decomposition on the virtual 8-device mesh:
+sharded-vs-unsharded numerical equivalence, value AND gradients
+(the 3D leg of SURVEY.md §4's multi-node tests; mirrors tests/test_halo.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.ops.stencil3d import (
+    StructuredGrid3,
+    solve_poisson_structured_3d,
+    stencil3d_apply,
+    stencil3d_coefficients,
+)
+from difffe_tpu.parallel import make_device_mesh
+from difffe_tpu.parallel.halo3d import make_halo_apply_3d, make_halo_solver_3d
+
+
+@pytest.fixture(scope="module")
+def dof_mesh():
+    # all 8 devices on the dof axis (z-plane decomposition)
+    return make_device_mesh(mesh_shape=(1, 8), axis_names=("dp", "dof"))
+
+
+@pytest.fixture(scope="module")
+def dp_dof_mesh():
+    # 2-way scenario batch × 4-way z decomposition
+    return make_device_mesh(mesh_shape=(2, 4), axis_names=("dp", "dof"))
+
+
+def make_problem(key=0):
+    grid = StructuredGrid3.unit(5, 6, 7)          # nz+1 = 8 planes
+    k = jax.random.PRNGKey(key)
+    kappa = 1.0 + jax.random.uniform(k, (grid.n_elements,), jnp.float64)
+    return grid, kappa
+
+
+def test_apply_matches_unsharded(dof_mesh):
+    grid, kappa = make_problem()
+    C = stencil3d_coefficients(grid, kappa)
+    u = jax.random.normal(jax.random.PRNGKey(1), grid.node_shape,
+                          jnp.float64)
+    ref = stencil3d_apply(C, u)
+    got = make_halo_apply_3d(dof_mesh)(C, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+def test_solver_matches_unsharded_value_and_grads(dof_mesh):
+    grid, kappa = make_problem()
+    f = jax.random.normal(jax.random.PRNGKey(2), grid.node_shape,
+                          jnp.float64)
+    g0 = jnp.zeros(grid.node_shape, jnp.float64)
+    tgt = jax.random.normal(jax.random.PRNGKey(3), grid.node_shape,
+                            jnp.float64)
+    solve = make_halo_solver_3d(dof_mesh, grid, maxiter=120)
+
+    u_sh = solve(kappa, f, g0)
+    u_ref = solve_poisson_structured_3d(grid, kappa, f, g0, 0.0, 120)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               atol=1e-10)
+
+    def loss_sh(k, f_, g_):
+        return jnp.mean((solve(k, f_, g_) - tgt) ** 2)
+
+    def loss_ref(k, f_, g_):
+        return jnp.mean((solve_poisson_structured_3d(
+            grid, k, f_, g_, 0.0, 120) - tgt) ** 2)
+
+    gs = jax.grad(loss_sh, argnums=(0, 1, 2))(kappa, f, g0)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(kappa, f, g0)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_batched_dp_dof(dp_dof_mesh):
+    grid, _ = make_problem()
+    B = 4
+    k = jax.random.PRNGKey(4)
+    kappa = 1.0 + jax.random.uniform(k, (B, grid.n_elements), jnp.float64)
+    f = jax.random.normal(jax.random.PRNGKey(5), (B,) + grid.node_shape,
+                          jnp.float64)
+    g0 = jnp.zeros(grid.node_shape, jnp.float64)
+    solve = make_halo_solver_3d(dp_dof_mesh, grid, maxiter=120,
+                                batch_axis="dp")
+    uB = solve(kappa, f, g0)
+    for b in range(B):
+        u1 = solve_poisson_structured_3d(grid, kappa[b], f[b], g0, 0.0, 120)
+        np.testing.assert_allclose(np.asarray(uB[b]), np.asarray(u1),
+                                   atol=1e-10)
+
+    # end-to-end batched inversion gradient across the dp×dof mesh
+    tgt = jax.random.normal(jax.random.PRNGKey(6), (B,) + grid.node_shape,
+                            jnp.float64)
+
+    def loss(kk):
+        return jnp.mean((solve(kk, f, g0) - tgt) ** 2)
+
+    def loss_ref(kk):
+        u = jax.vmap(lambda k1, f1: solve_poisson_structured_3d(
+            grid, k1, f1, g0, 0.0, 120))(kk, f)
+        return jnp.mean((u - tgt) ** 2)
+
+    gsh = jax.grad(loss)(kappa)
+    gref = jax.grad(loss_ref)(kappa)
+    np.testing.assert_allclose(np.asarray(gsh), np.asarray(gref), atol=1e-12)
