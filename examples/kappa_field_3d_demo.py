@@ -1,0 +1,80 @@
+"""Batched 3D κ-field inversion on a box mesh (beyond the reference —
+its solver raises for dim>2, /root/reference/diffhe/solver.py:62-67).
+
+Recovers hidden per-tet conductivity fields in a 12³ box from observed
+temperature fields, for a batch of scenarios at once — adjoint gradients
+through the 7-point-stencil PCG (ops/stencil3d.py: every Kuhn tet's P1
+stiffness reduces exactly to axis-edge couplings, so assembly is a
+handful of padded adds and the matvec is 7 shifted FMAs).
+
+Run: python examples/kappa_field_3d_demo.py
+"""
+
+import math
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import optax
+
+from difffe_tpu.ops.stencil3d import (
+    StructuredGrid3, solve_poisson_structured_3d_batched)
+
+
+def main():
+    n, B = 12, 4
+    grid = StructuredGrid3.unit(n, n, n)
+    key = jax.random.PRNGKey(0)
+    xs = jnp.linspace(0, 1, n + 1)
+    Z, Y, X = jnp.meshgrid(xs, xs, xs, indexing="ij")
+
+    # hidden truth: one smooth κ blob per scenario (shared by the 6 tets
+    # of each cube, but recovered per-tet with a smoothness prior)
+    xc = (jnp.arange(n) + 0.5) / n
+    Zc, Yc, Xc = jnp.meshgrid(xc, xc, xc, indexing="ij")
+    c = jax.random.uniform(key, (B, 3, 1, 1, 1), minval=0.35, maxval=0.65)
+    blob = jnp.exp(-(((Xc - c[:, 0]) ** 2 + (Yc - c[:, 1]) ** 2
+                      + (Zc - c[:, 2]) ** 2) / 0.03))
+    k_true = (1.0 + 2.0 * blob)[..., None].repeat(6, -1)  # (B, n, n, n, 6)
+
+    f = (3 * math.pi ** 2 * jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+         * jnp.sin(math.pi * Z))
+    fB = jnp.broadcast_to(f, (B,) + grid.node_shape)
+    g0 = jnp.zeros(grid.node_shape)
+
+    solve = lambda k: solve_poisson_structured_3d_batched(  # noqa: E731
+        grid, k, fB, g0, 0.0, 200)
+    u_data = solve(k_true)
+
+    def loss_fn(log_k):
+        k = jnp.exp(log_k)
+        u = solve(k)
+        data = jnp.mean((u - u_data) ** 2)
+        smooth = sum(1e-7 * jnp.mean(jnp.diff(log_k, axis=a) ** 2)
+                     for a in (1, 2, 3))
+        return data + smooth
+
+    opt = optax.adam(0.05)
+    log_k = jnp.zeros((B, n, n, n, 6))
+    state = opt.init(log_k)
+
+    @jax.jit
+    def step(log_k, state):
+        loss, grad = jax.value_and_grad(loss_fn)(log_k)
+        updates, state = opt.update(grad, state)
+        return optax.apply_updates(log_k, updates), state, loss
+
+    for i in range(200):
+        log_k, state, loss = step(log_k, state)
+        if i % 40 == 0:
+            print(f"  iter {i:4d}  loss = {float(loss):.3e}")
+
+    k_rec = jnp.exp(log_k)
+    err = float(jnp.mean(jnp.abs(k_rec - k_true) / k_true))
+    print(f"  mean relative field error over {B} scenarios: {err:.3f}")
+
+
+if __name__ == "__main__":
+    main()
