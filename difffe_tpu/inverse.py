@@ -168,12 +168,91 @@ def fit_kappa(
                          iters, warm, eval_final)
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=64)
+def _build_loop_2d(grid, path, iters, warm, block_b, lr, scale, steps):
+    """Jitted 2D SGD inversion loop, CACHED on the static configuration —
+    repeated fit_kappa calls with the same shapes hit the same
+    executable (the CLI timing run relies on this)."""
+    from .ops.pallas.stencil_cg_kernel import (
+        fused_kappa_mse_step_2d, kappa_mse_step_2d_two_launch)
+    from .ops.stencil import solve_poisson_structured
+
+    if path == "fused":
+        step_fn = fused_kappa_mse_step_2d
+    elif path == "two_launch":
+        step_fn = kappa_mse_step_2d_two_launch
+    else:
+        step_fn = None        # XLA stencil path, value_and_grad below
+
+    if step_fn is not None:
+        def body(args, carry, _):
+            fg, g0, ug = args
+            kl, ku, state = carry
+            lp, (gl, gu), _, state = step_fn(
+                grid, (kl, ku), fg, g0, ug, iters=iters, block_b=block_b,
+                scale=scale, warm_state=state if warm else None,
+                return_state=True)
+            # history in MSE units (mean over scenarios AND nodes), so it
+            # is directly comparable to the converged ``eval_loss``
+            return (kl - lr * gl, ku - lr * gu, state), \
+                (scale / 2.0) * lp.mean()
+
+        @jax.jit
+        def loop(kl, ku, fg, g0, ug):
+            # cold first step supplies the state structure for the scan
+            lp0, (gl0, gu0), _, state0 = step_fn(
+                grid, (kl, ku), fg, g0, ug, iters=iters, block_b=block_b,
+                scale=scale, return_state=True)
+            carry = (kl - lr * gl0, ku - lr * gu0, state0)
+            (kl, ku, _), losses = jax.lax.scan(
+                _ft.partial(body, (fg, g0, ug)), carry, None,
+                length=max(steps - 1, 0))
+            loss0 = (scale / 2.0) * lp0.mean()
+            return kl, ku, jnp.concatenate([loss0[None], losses])
+    else:
+        @jax.jit
+        def loop(kl, ku, fg, g0, ug):
+            B = fg.shape[0]
+
+            def loss_fn(klu):
+                u = solve_poisson_structured(grid, klu, fg, g0, 0.0, iters)
+                d = u - ug
+                return (scale / 2.0) * jnp.sum(d * d)
+
+            def body(carry, _):
+                kl, ku = carry
+                loss, (gl, gu) = jax.value_and_grad(loss_fn)((kl, ku))
+                # objective keeps the per-scenario cotangent scale (same
+                # gradient magnitude as the kernel paths); history in
+                # MSE units
+                return (kl - lr * gl, ku - lr * gu), loss / B
+
+            (kl, ku), losses = jax.lax.scan(body, (kl, ku), None,
+                                            length=steps)
+            return kl, ku, losses
+
+    return loop
+
+
+@_ft.lru_cache(maxsize=64)
+def _build_eval_2d(grid, maxiter):
+    from .ops.stencil import solve_poisson_structured
+
+    @jax.jit
+    def ev(kl, ku, fg, g0, ug):
+        u = solve_poisson_structured(grid, (kl, ku), fg, g0, 0.0, maxiter)
+        return jnp.mean((u - ug) ** 2)
+
+    return ev
+
+
 def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
                   block_b, eval_final):
-    from .ops.pallas.stencil_cg_kernel import (
-        choose_2d_path, fused_kappa_mse_step_2d,
-        kappa_mse_step_2d_two_launch)
-    from .ops.stencil import kappa_lu_from_elements, solve_poisson_structured
+    from .ops.pallas.stencil_cg_kernel import choose_2d_path
+    from .ops.stencil import kappa_lu_from_elements
 
     B = f.shape[0]
     H, W = grid.node_shape
@@ -196,72 +275,59 @@ def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
 
     path = choose_2d_path(grid, block_b=block_b,
                           itemsize=jnp.dtype(mesh.dtype).itemsize)
-    if path == "fused":
-        step_fn = fused_kappa_mse_step_2d
-    elif path == "two_launch":
-        step_fn = kappa_mse_step_2d_two_launch
+    if path == "two_launch":
         block_b = 1
-    else:
-        step_fn = None        # XLA stencil path, value_and_grad below
-
-    if step_fn is not None:
-        def body(carry, _):
-            kl, ku, state = carry
-            lp, (gl, gu), _, state = step_fn(
-                grid, (kl, ku), fg, g0, ug, iters=iters, block_b=block_b,
-                scale=scale, warm_state=state if warm else None,
-                return_state=True)
-            # history in MSE units (mean over scenarios AND nodes), so it
-            # is directly comparable to the converged ``eval_loss``
-            return (kl - lr * gl, ku - lr * gu, state), \
-                (scale / 2.0) * lp.mean()
-
-        @jax.jit
-        def loop(kl, ku):
-            # cold first step supplies the state structure for the scan
-            lp0, (gl0, gu0), _, state0 = step_fn(
-                grid, (kl, ku), fg, g0, ug, iters=iters, block_b=block_b,
-                scale=scale, return_state=True)
-            carry = (kl - lr * gl0, ku - lr * gu0, state0)
-            (kl, ku, _), losses = jax.lax.scan(body, carry, None,
-                                               length=max(steps - 1, 0))
-            loss0 = (scale / 2.0) * lp0.mean()
-            return kl, ku, jnp.concatenate([loss0[None], losses])
-    else:
-        def loss_fn(klu):
-            u = solve_poisson_structured(grid, klu, fg, g0, 0.0, iters)
-            d = u - ug
-            return (scale / 2.0) * jnp.sum(d * d)
-
-        @jax.jit
-        def loop(kl, ku):
-            def body(carry, _):
-                kl, ku = carry
-                loss, (gl, gu) = jax.value_and_grad(loss_fn)((kl, ku))
-                # objective keeps the per-scenario cotangent scale (same
-                # gradient magnitude as the kernel paths); record the
-                # history in MSE units
-                return (kl - lr * gl, ku - lr * gu), loss / B
-            (kl, ku), losses = jax.lax.scan(body, (kl, ku), None,
-                                            length=steps)
-            return kl, ku, losses
-
-    kl, ku, losses = loop(kl0, ku0)
+    loop = _build_loop_2d(grid, path, iters, warm, block_b,
+                          float(lr), float(scale), steps)
+    kl, ku, losses = loop(kl0, ku0, fg, g0, ug)
     kappa = jnp.stack([kl, ku], axis=-1).reshape(B, mesh.n_elements)
     info = {"path": f"stencil2d_{path}", "iters": iters, "warm": warm,
             "loss_history": losses, "eval_loss": None}
     if eval_final:
-        u = solve_poisson_structured(
-            grid, (kl, ku), fg, g0, 0.0, max(4 * iters, 256))
-        info["eval_loss"] = float(jnp.mean((u - ug) ** 2))
+        ev = _build_eval_2d(grid, max(4 * iters, 256))
+        info["eval_loss"] = float(ev(kl, ku, fg, g0, ug))
     return kappa, info
+
+
+@_ft.lru_cache(maxsize=64)
+def _build_loop_3d(grid, iters, warm, lr, steps):
+    from .ops.stencil3d import kappa_mse_grad_step_3d
+
+    def body(args, carry, _):
+        fg, g0, ug = args
+        k, state = carry
+        loss, gk, state = kappa_mse_grad_step_3d(
+            grid, k, fg, g0, ug, iters,
+            warm_state=state if warm else None, return_state=True)
+        return (k - lr * gk, state), loss
+
+    @jax.jit
+    def loop(k, fg, g0, ug):
+        loss0, g0k, state0 = kappa_mse_grad_step_3d(
+            grid, k, fg, g0, ug, iters, return_state=True)
+        (k, _), losses = jax.lax.scan(
+            _ft.partial(body, (fg, g0, ug)), (k - lr * g0k, state0), None,
+            length=max(steps - 1, 0))
+        return k, jnp.concatenate([loss0[None], losses])
+
+    return loop
+
+
+@_ft.lru_cache(maxsize=64)
+def _build_eval_3d(grid, maxiter):
+    from .ops.stencil3d import solve_poisson_structured_3d_batched
+
+    @jax.jit
+    def ev(kappa, fg, g0, ug):
+        u = solve_poisson_structured_3d_batched(grid, kappa, fg, g0, 0.0,
+                                                maxiter)
+        return jnp.mean((u - ug) ** 2)
+
+    return ev
 
 
 def _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
                   eval_final):
-    from .ops.stencil3d import (kappa_mse_grad_step_3d,
-                                solve_poisson_structured_3d_batched)
-
     B = f.shape[0]
     iters = 16 if iters is None else iters
     warm = False if warm is None else warm        # measured: warm loses 3D
@@ -273,28 +339,13 @@ def _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
         else jnp.broadcast_to(jnp.asarray(kappa0, mesh.dtype),
                               (B, mesh.n_elements))
 
-    def body(carry, _):
-        k, state = carry
-        loss, gk, state = kappa_mse_grad_step_3d(
-            grid, k, fg, g0, ug, iters,
-            warm_state=state if warm else None, return_state=True)
-        return (k - lr * gk, state), loss
-
-    @jax.jit
-    def loop(k):
-        loss0, g0k, state0 = kappa_mse_grad_step_3d(
-            grid, k, fg, g0, ug, iters, return_state=True)
-        (k, _), losses = jax.lax.scan(body, (k - lr * g0k, state0), None,
-                                      length=max(steps - 1, 0))
-        return k, jnp.concatenate([loss0[None], losses])
-
-    kappa, losses = loop(k0)
+    loop = _build_loop_3d(grid, iters, warm, float(lr), steps)
+    kappa, losses = loop(k0, fg, g0, ug)
     info = {"path": "stencil3d_batchminor", "iters": iters, "warm": warm,
             "loss_history": losses, "eval_loss": None}
     if eval_final:
-        u = solve_poisson_structured_3d_batched(
-            grid, kappa, fg, g0, 0.0, max(4 * iters, 256))
-        info["eval_loss"] = float(jnp.mean((u - ug) ** 2))
+        ev = _build_eval_3d(grid, max(4 * iters, 256))
+        info["eval_loss"] = float(ev(kappa, fg, g0, ug))
     return kappa, info
 
 

@@ -208,3 +208,129 @@ def _ell_bwd(tol, maxiter, res, g):
 
 
 solve_poisson_cg_ell.defvjp(_ell_fwd, _ell_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batch-minor (structure-of-arrays) batched ELL solve
+#
+# TPU HBM tiles the LAST TWO logical dims as (8, 128).  The batch-leading
+# vmapped form's per-iteration gather produces (B, n, Dn) with Dn ≈ 8 on
+# the LANE axis — a 128/Dn ≈ 16× tile-padding inflation on the largest
+# intermediate of the whole loop (and the prefolded W table suffers it
+# too).  Keeping the scenario batch as the trailing axis makes the gather
+# result (n, Dn, B) and the state (n, B): with B a multiple of 128 both
+# tile exactly.  Same trick as ops/stencil3d.py's batch-minor CG, applied
+# to the gather tables.  The row gather u[nbr] stays a static index
+# gather of full 128-lane rows.  Measured rates: docs/PERFORMANCE.md
+# 'Unstructured meshes'.
+# ---------------------------------------------------------------------------
+
+
+def _bm_dot_nodes(u, v):
+    """Per-scenario inner product for (n, B) batch-minor CG state."""
+    return jnp.sum(u * v, axis=0, keepdims=True)
+
+
+def ell_weights_bm(mesh: FEMesh, ell: ELL, keB: jax.Array):
+    """κ (ne, B) batch-minor → prefolded (W (n, Dn, B), diag (n, B))."""
+    W = jnp.sum(keB[ell.edge_elem] * ell.edge_w[..., None], axis=-2)
+    diag = jnp.sum(keB[ell.inc_elem] * ell.wdiag[..., None], axis=-2)
+    return W, diag
+
+
+def ell_apply_bm(ell: ELL, W: jax.Array, diag: jax.Array,
+                 u: jax.Array) -> jax.Array:
+    """K·u with batch-minor state: u (n, B) → (n, B).  One row gather
+    (n, Dn, B) + one FMA contraction over Dn."""
+    ug = u[ell.nbr]                                       # (n, Dn, B)
+    return diag * u + jnp.sum(W * ug, axis=1)
+
+
+def _ell_bm_impl(mesh, ell, keB, Fbm, tol, maxiter):
+    maxiter = maxiter if maxiter is not None else mesh.n_nodes
+    W, diag = ell_weights_bm(mesh, ell, keB)  # once — NOT per iteration
+    m = mesh.bc_mask[:, None]
+    p = 1.0 - m
+    g = mesh.bc_values[:, None]
+    diagA = m + p * diag
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    applyK = lambda w: ell_apply_bm(ell, W, diag, w)
+    mg = m * g
+    rhs = p * (Fbm - applyK(mg))
+    y = pcg(lambda v: m * v + p * applyK(p * v), rhs,
+            lambda r: Minv * r, jnp.zeros_like(rhs), tol, maxiter,
+            dot=_bm_dot_nodes)
+    return mg + y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def solve_poisson_cg_ell_batched(mesh: FEMesh, ell: ELL, kappa,
+                                 F: jax.Array, tol: float = 0.0,
+                                 maxiter: Optional[int] = None) -> jax.Array:
+    """Batched edge-ELL solve with batch-minor device layout.
+
+    kappa: (B, n_elements) per-scenario fields (or (B,) scalars); F:
+    (B, n_nodes) assembled loads.  Returns u (B, n_nodes).  Semantically
+    identical to vmapping :func:`solve_poisson_cg_ell` (tested); the
+    batch rides the lane axis through the whole CG (module note above).
+    Gradients flow to κ and F via the IFT adjoint."""
+    keB, Fbm = _ell_bm_prep(mesh, kappa, F)
+    u = _ell_bm_impl(mesh, ell, keB, Fbm, tol, maxiter)
+    return u.T
+
+
+def _ell_bm_prep(mesh, kappa, F):
+    kappa = jnp.asarray(kappa, mesh.dtype)
+    F = jnp.asarray(F, mesh.dtype)
+    if F.ndim != 2:
+        raise ValueError(f"batched ELL solve expects F (B, n_nodes); "
+                         f"got {F.shape}")
+    B = F.shape[0]
+    if kappa.ndim == 1 and kappa.shape[0] == B:
+        keB = jnp.broadcast_to(kappa[None, :], (mesh.n_elements, B))
+    else:
+        ke = jax.vmap(lambda k: kappa_on_elements(mesh, k))(kappa)
+        keB = ke.T                                        # (ne, B)
+    return keB, F.T
+
+
+def _ell_bm_fwd(mesh, ell, kappa, F, tol, maxiter):
+    keB, Fbm = _ell_bm_prep(mesh, kappa, F)
+    u = _ell_bm_impl(mesh, ell, keB, Fbm, tol, maxiter)
+    return u.T, (mesh, ell, kappa, F, u)
+
+
+def _ell_bm_bwd(tol, maxiter, res, gbar):
+    mesh, ell, kappa, F, u = res        # u is batch-minor (n, B)
+    keB, _ = _ell_bm_prep(mesh, kappa, F)
+    maxit = maxiter if maxiter is not None else mesh.n_nodes
+    W, diag = ell_weights_bm(mesh, ell, keB)
+    m = mesh.bc_mask[:, None]
+    p = 1.0 - m
+    diagA = m + p * diag
+    Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+    applyK = lambda w: ell_apply_bm(ell, W, diag, w)
+    gbm = gbar.T
+    lam = pcg(lambda v: m * v + p * applyK(p * v), gbm,
+              lambda r: Minv * r, jnp.zeros_like(gbm), tol, maxit,
+              dot=_bm_dot_nodes)
+
+    # Residual map at fixed u (batch-minor): one scatter per grad step —
+    # the transpose of the κ gathers in ell_weights_bm.  Full R = b − A·u
+    # so Dirichlet-value cotangents flow too (as in _ell_bwd).
+    def residual(mesh_, ell_, kappa_, F_):
+        keB_, Fbm_ = _ell_bm_prep(mesh_, kappa_, F_)
+        W_, d_ = ell_weights_bm(mesh_, ell_, keB_)
+        m_ = mesh_.bc_mask[:, None]
+        p_ = 1.0 - m_
+        g_ = mesh_.bc_values[:, None]
+        u_fixed = jax.lax.stop_gradient(u)
+        aK = lambda w: ell_apply_bm(ell_, W_, d_, w)
+        return m_ * (g_ - u_fixed) + p_ * (Fbm_
+                                           - aK(m_ * g_ + p_ * u_fixed))
+
+    _, vjp = jax.vjp(residual, mesh, ell, kappa, F)
+    return vjp(lam)
+
+
+solve_poisson_cg_ell_batched.defvjp(_ell_bm_fwd, _ell_bm_bwd)

@@ -153,3 +153,67 @@ class TestELLSolve:
         k5, l5 = run(k0)
         assert bool(jnp.isfinite(k5).all())
         assert float(l5) < float(loss(k0))
+
+
+class TestELLBatchMinor:
+    """solve_poisson_cg_ell_batched (batch-minor layout) ≡ vmapped
+    solve_poisson_cg_ell — forward, κ/F gradients, scalar-batch κ."""
+
+    def _setup(self, B=5):
+        from difffe_tpu.ops.unstructured import solve_poisson_cg_ell_batched
+        mesh = FEMesh.rectangle(8, 8, dtype=jnp.float32)
+        ell = build_ell(mesh)
+        key = jax.random.PRNGKey(0)
+        kB = 1.0 + jax.random.uniform(key, (B, mesh.n_elements),
+                                      jnp.float32)
+        f = (jnp.sin(jnp.pi * mesh.nodes[:, 0])
+             * jnp.sin(jnp.pi * mesh.nodes[:, 1]) * 19.7)
+        FB = jnp.broadcast_to(assemble_load(mesh, f), (B, mesh.n_nodes))
+        return mesh, ell, kB, FB, solve_poisson_cg_ell_batched
+
+    def test_forward_matches_vmap(self):
+        from difffe_tpu.ops.unstructured import solve_poisson_cg_ell
+        mesh, ell, kB, FB, solveB = self._setup()
+        u_ref = jax.vmap(lambda k, F: solve_poisson_cg_ell(
+            mesh, ell, k, F, 0.0, 100))(kB, FB)
+        u_bm = solveB(mesh, ell, kB, FB, 0.0, 100)
+        np.testing.assert_allclose(np.asarray(u_bm), np.asarray(u_ref),
+                                   atol=1e-6)
+
+    def test_gradients_match_vmap(self):
+        from difffe_tpu.ops.unstructured import solve_poisson_cg_ell
+        mesh, ell, kB, FB, solveB = self._setup()
+        ud = jax.vmap(lambda k, F: solve_poisson_cg_ell(
+            mesh, ell, k, F, 0.0, 100))(kB, FB) + 0.01
+
+        def loss_ref(k, F):
+            u = jax.vmap(lambda kk, FF: solve_poisson_cg_ell(
+                mesh, ell, kk, FF, 0.0, 100))(k, F)
+            return jnp.mean((u - ud) ** 2)
+
+        def loss_bm(k, F):
+            return jnp.mean((solveB(mesh, ell, k, F, 0.0, 100) - ud) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(kB, FB)
+        g_bm = jax.grad(loss_bm, argnums=(0, 1))(kB, FB)
+        np.testing.assert_allclose(np.asarray(g_bm[0]),
+                                   np.asarray(g_ref[0]), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(g_bm[1]),
+                                   np.asarray(g_ref[1]), atol=1e-9)
+
+    def test_scalar_batch_kappa(self):
+        from difffe_tpu.ops.unstructured import solve_poisson_cg_ell
+        mesh, ell, _, FB, solveB = self._setup()
+        B = FB.shape[0]
+        ks = 1.0 + 0.1 * jnp.arange(B, dtype=jnp.float32)
+        u_bm = solveB(mesh, ell, ks, FB, 0.0, 100)
+        u_ref = jax.vmap(lambda k, F: solve_poisson_cg_ell(
+            mesh, ell, jnp.full((mesh.n_elements,), k), F, 0.0, 100))(
+                ks, FB)
+        np.testing.assert_allclose(np.asarray(u_bm), np.asarray(u_ref),
+                                   atol=1e-6)
+
+    def test_bad_F_shape_raises(self):
+        mesh, ell, kB, FB, solveB = self._setup()
+        with pytest.raises(ValueError, match="B, n_nodes"):
+            solveB(mesh, ell, kB, FB[0], 0.0, 10)
