@@ -65,10 +65,12 @@ def prolong_bilinear(c: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
 
 
 def coarsen_kappa(kl: jax.Array, ku: jax.Array):
-    """(n, n) per-quad κ pair → (n/2, n/2) coarse pair (2×2 cell average)."""
+    """(..., n, n) per-quad κ pair → (..., n/2, n/2) coarse pair (2×2 cell
+    average); lead axes (scenario batches) pass through."""
     k = 0.5 * (kl + ku)
-    ny, nx = k.shape
-    kc = k.reshape(ny // 2, 2, nx // 2, 2).mean(axis=(1, 3))
+    ny, nx = k.shape[-2:]
+    kc = k.reshape(k.shape[:-2] + (ny // 2, 2, nx // 2, 2)).mean(
+        axis=(-3, -1))
     return kc, kc
 
 

@@ -58,6 +58,10 @@ MXU_MAX_NODES = 136
 # the SHARED forcing vector in shared-F mode — one VMEM-resident copy for
 # the whole batch instead of a streamed (N, B) plane.
 _COL_F = 7
+# v2 constant columns: RHS0 = m·g − t0 and PF = p·F (shared-F mode) — the
+# folded-RHS algebra below collapses the per-plane VPU work to these.
+_COL_RHS0 = 8
+_COL_PF = 9
 
 
 def _mxu_body(lk, f, ud, cols, W, loss_ref, grad_ref, scale: float):
@@ -103,6 +107,65 @@ def _mxu_body(lk, f, ud, cols, W, loss_ref, grad_ref, scale: float):
     grad_ref[:] = (scale * kappa) * gk
 
 
+def _mxu_body_v2(lk, pf, ud, cols, W, loss_ref, grad_ref, scale: float):
+    """Folded-RHS body (round 4): the factorized system's algebra collapses
+    the per-(N, L)-plane VPU work of _mxu_body to TWO fmas + the loss and
+    gradient contractions.
+
+    With masks m, p and the constant columns RHS0 = m·g − t₀,
+    PF = p·F (t₀ = p·T₁·(m·g)):
+
+      D_κ⁻¹·r  = (m·g − t₀) + κ⁻¹·PF      = RHS0 + κ⁻¹·PF   (one fma)
+      t₀ + (T̃₁u)|interior = κ⁻¹·PF  (since T̃₁u = x exactly, up to W's
+        inversion error ~1e-7), so the κ-gradient's 4-term shift
+        contraction collapses:
+      ∂loss/∂log κ = −scale·Σ_i λ_i·PF_i   (κ·κ⁻¹ cancels — no shifts,
+        no a₀/d₀/c₀ reads, no t₀ plane term)
+
+    Derivation checked against the v1 body and the unfused XLA path in
+    tests/test_fused_grad.py (parity gate 1e-4, same as bench.py's)."""
+    m = cols[:, _COL_M:_COL_M + 1]
+    p = cols[:, _COL_P:_COL_P + 1]
+    rhs0 = cols[:, _COL_RHS0:_COL_RHS0 + 1]
+
+    kappa = jnp.exp(lk)                           # (1, L)
+    kinv = 1.0 / kappa                            # (1, L)
+    x = rhs0 + kinv * pf                          # (N, L) fma
+    u = jnp.dot(W, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    diff = u - ud
+    loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
+    dinv = m + p * kinv                           # (N, L) fma
+    lam = jnp.dot(W, dinv * diff,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    grad_ref[:] = (-scale) * jnp.sum(lam * pf, axis=0, keepdims=True)
+
+
+def _mxu_step_kernel_v2(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
+                        loss_ref, grad_ref, *, n_rows: int, scale: float):
+    """Streamed-F v2: F plane (N, L) in HBM; PF = p·f computed in-kernel."""
+    cols = cols_ref[:]
+    W = w_ref[:][:, :n_rows]
+    p = cols[:, _COL_P:_COL_P + 1]
+    pf = p * f_ref[:].astype(cols.dtype)
+    _mxu_body_v2(lk_ref[:].astype(cols.dtype), pf,
+                 ud_ref[:].astype(cols.dtype), cols, W,
+                 loss_ref, grad_ref, scale)
+
+
+def _mxu_step_kernel_shared_f_v2(lk_ref, ud_ref, cols_ref, w_ref,
+                                 loss_ref, grad_ref, *, n_rows: int,
+                                 scale: float):
+    """Shared-F v2: PF lives in the constant columns (one VMEM copy)."""
+    cols = cols_ref[:]
+    W = w_ref[:][:, :n_rows]
+    pf = cols[:, _COL_PF:_COL_PF + 1]             # (N, 1), broadcasts
+    _mxu_body_v2(lk_ref[:].astype(cols.dtype), pf,
+                 ud_ref[:].astype(cols.dtype), cols, W,
+                 loss_ref, grad_ref, scale)
+
+
 def _mxu_step_kernel(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
                      loss_ref, grad_ref, *, n_rows: int, scale: float):
     cols = cols_ref[:]
@@ -132,9 +195,10 @@ def _mxu_step_kernel_shared_f(lk_ref, ud_ref, cols_ref, w_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_rows", "scale", "block_lanes",
-                                    "shared_f"))
+                                    "shared_f", "version"))
 def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
-                block_lanes: int, shared_f: bool = False):
+                block_lanes: int, shared_f: bool = False,
+                version: int = 2):
     N, B = ud.shape
     Wc = W.shape[1]
     row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
@@ -146,14 +210,15 @@ def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
     wspec = pl.BlockSpec((N, Wc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     if shared_f:
-        kernel = functools.partial(_mxu_step_kernel_shared_f,
-                                   n_rows=n_rows, scale=scale)
+        kfn = (_mxu_step_kernel_shared_f_v2 if version == 2
+               else _mxu_step_kernel_shared_f)
+        kernel = functools.partial(kfn, n_rows=n_rows, scale=scale)
         in_specs = [row, plane, shared, wspec]
         operands = (lk, ud, cols, W)
         f_bytes = 0
     else:
-        kernel = functools.partial(_mxu_step_kernel,
-                                   n_rows=n_rows, scale=scale)
+        kfn = _mxu_step_kernel_v2 if version == 2 else _mxu_step_kernel
+        kernel = functools.partial(kfn, n_rows=n_rows, scale=scale)
         in_specs = [row, plane, plane, shared, wspec]
         operands = (lk, F, ud, cols, W)
         f_bytes = B * N * F.dtype.itemsize
@@ -178,7 +243,7 @@ def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
 def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
                              u_data: jax.Array, scale: float | None = None,
                              block_lanes: int = 1024,
-                             operand_dtype=None):
+                             operand_dtype=None, version: int = 2):
     """MXU variant of fused_kappa_mse_step — per-scenario SCALAR κ only.
 
     Same contract and return values as
@@ -258,6 +323,8 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
         cols = cols.at[:n, _COL_C0].set(c0)
         cols = cols.at[:n, _COL_MG].set(mg)
         cols = cols.at[:n, _COL_T0].set(t0)
+        # v2 folded-RHS constant: D_κ⁻¹·r = RHS0 + κ⁻¹·(p·F)
+        cols = cols.at[:n, _COL_RHS0].set(mg - t0)
 
         # W = inv(unit-kappa eliminated system), f64 on host, padded identity
         A = (np.diag(np.asarray(m + d0, np.float64))
@@ -274,6 +341,7 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
         # tiny (N,128) update — cheap even when F is traced (no
         # compile-time eval: the forcing may be a jit argument)
         cols = cols.at[:n, _COL_F].set(F)
+        cols = cols.at[:n, _COL_PF].set(p * F)
         FT = None
     else:
         FT = jnp.zeros((N, Bp), dtype).at[:n, :B].set(F.T) \
@@ -283,5 +351,5 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
         .astype(st_dtype)
 
     lp, gk = _mxu_pallas(lk, FT, udT, cols, W, N, float(scale),
-                         block_lanes, shared_f=shared_f)
+                         block_lanes, shared_f=shared_f, version=version)
     return lp[0, :B].astype(dtype), gk[0, :B].astype(dtype)

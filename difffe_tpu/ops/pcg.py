@@ -74,6 +74,17 @@ def pcg(A: Callable, b: jax.Array, Minv: Callable, x0: jax.Array,
     rz = dot(r, z)
     bnorm2 = dot(b, b)
     tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(bnorm2, 1e-30)
+    # Noise-floor freeze: in fixed-trip mode (tol=0) a scenario that has
+    # converged keeps iterating on rounding noise, and CG past its
+    # stagnation point can DIVERGE (β of noise compounds into p; measured:
+    # a 300-iteration f32 batch solve at 8³ reached |u| ~ 9e4 — and jit
+    # fusion changes which side of the cliff a run lands on).  Once rz
+    # falls below (16ε)²·rz₀ — the f32 stagnation floor — the scenario is
+    # frozen: α = 0 (x, r stop moving) and β = 0 (p resets to z, staying
+    # bounded).  Per dot-scope, so one batch member freezing never stalls
+    # the others.  Regression: tests/test_review_regressions.py.
+    eps = jnp.finfo(jnp.asarray(b).dtype).eps
+    floor = (16.0 * eps) ** 2 * jnp.maximum(rz, 1e-30)
 
     def cond(state):
         _, r, _, _, k = state
@@ -81,13 +92,15 @@ def pcg(A: Callable, b: jax.Array, Minv: Callable, x0: jax.Array,
 
     def body(state):
         x, r, p, rz, k = state
+        live = rz > floor
         Ap = A(p)
-        alpha = _safe_div(rz, dot(p, Ap))
+        alpha = jnp.where(live, _safe_div(rz, dot(p, Ap)), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = Minv(r)
         rz_new = dot(r, z)
-        beta = _safe_div(rz_new, rz)
+        beta = jnp.where(live & (rz_new > floor),
+                         _safe_div(rz_new, rz), 0.0)
         p = z + beta * p
         return x, r, p, rz_new, k + 1
 

@@ -1,0 +1,166 @@
+"""TPU probe: pushing 256² past the ≥10⁴ bar (VERDICT-r3 item 7).
+
+Round 3 measured 4,003 grad-solves/s at 256² (fused kernel, warm-32) and
+never gated smaller warm iteration counts on the CONVERGED loss.  Two
+levers, accuracy-gated like probe_2d_warm.py:
+
+1. the warm-iters ladder (32 → 16 → 8): the warm start carries the
+   previous converged state, so the per-step CG only tracks the O(lr)
+   SGD perturbation — maybe 32 is overkill at 256² too;
+2. a PERIODIC coarse-grid correction (two-level: restrict the warm
+   residual to 128², ~12 Jacobi-PCG iterations there, prolongate,
+   correct the kernel's warm start) every M steps — the MG machinery
+   (ops/multigrid.py transfers) wrapped AROUND the Pallas kernel, paid
+   1/M of the time, to rescue the low-frequency error the short fine
+   sweeps cannot see.
+
+Run:  python scripts/probe_2d_mg256.py [n] [B] [steps] [lr]
+"""
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from difffe_tpu.ops.stencil import (StructuredGrid, boundary_mask_grid,
+                                        load_grid, stencil_apply,
+                                        stencil_coefficients)
+    from difffe_tpu.ops.multigrid import (coarsen_kappa, prolong_bilinear,
+                                          restrict_full_weighting)
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+        choose_2d_path, fused_kappa_mse_step_2d,
+        kappa_mse_step_2d_two_launch, solve_structured_pallas)
+    from difffe_tpu.ops.pcg import pcg, batched_dot
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    lr = float(sys.argv[4]) if len(sys.argv) > 4 else 100.0
+    bb = 1
+    grid = StructuredGrid.unit(n, n)
+    gridc = StructuredGrid.unit(n // 2, n // 2)
+    path = choose_2d_path(grid, bb)
+    step_impl = (fused_kappa_mse_step_2d if path == "fused"
+                 else kappa_mse_step_2d_two_launch)
+    print(f"n={n} B={B} steps={steps} lr={lr} path={path}", flush=True)
+
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, xs)
+    f2 = (2 * math.pi ** 2 * jnp.sin(math.pi * X)
+          * jnp.sin(math.pi * Y)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f2, (B, n + 1, n + 1))
+    g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, n, n), jnp.float32)
+    scale = 2.0 / (fB.shape[1] * fB.shape[2])
+
+    t0 = time.perf_counter()
+    u_data = jax.jit(lambda kk: solve_structured_pallas(
+        grid, (kk, kk), fB, g0, 256, bb))(k_true)
+    jax.block_until_ready(u_data)
+    print(f"u_data (256-iter launch): {time.perf_counter()-t0:.0f}s "
+          f"incl compile", flush=True)
+
+    @jax.jit
+    def eval_loss(kk):
+        u = solve_structured_pallas(grid, (kk, kk), fB, g0, 256, bb)
+        d = u - u_data
+        return (scale / 2.0) * jnp.sum(d * d) / B
+
+    kt = np.asarray(k_true)
+
+    # ---- the coarse-grid correction (XLA, batched over 2B stacked
+    # forward+adjoint scenarios) -----------------------------------------
+    m = boundary_mask_grid(grid, jnp.float32)
+    p = 1.0 - m
+    mc = boundary_mask_grid(gridc, jnp.float32)
+    pc = 1.0 - mc
+    restrictB = jax.vmap(restrict_full_weighting)
+    prolongB = jax.vmap(lambda c: prolong_bilinear(c, (n + 1, n + 1)))
+
+    def coarse_correct(k, u_w, lam_w, C):
+        """Two-level correction of both warm starts; one stacked coarse CG."""
+        F = load_grid(grid, fB)
+        mg = m * g0
+        b = mg + p * (F - stencil_apply(C, mg))
+        Au = m * u_w + p * stencil_apply(C, p * u_w)
+        r_u = b - Au
+        gbar = scale * (u_w - u_data)
+        Al = m * lam_w + p * stencil_apply(C, p * lam_w)
+        r_l = gbar - Al
+        rc = restrictB(jnp.concatenate([p * r_u, p * r_l], 0))
+        rc = pc * rc
+        klc, kuc = coarsen_kappa(k, k)
+        Cc = stencil_coefficients(gridc, klc, kuc)
+        Cc = jnp.concatenate([Cc, Cc], axis=0)   # fwd+adjoint share A_c
+        diagc = mc + pc * Cc[..., 0, :, :]
+        Minvc = 1.0 / jnp.where(jnp.abs(diagc) > 1e-30, diagc, 1.0)
+        ec = pcg(lambda v: mc * v + pc * stencil_apply(Cc, pc * v), rc,
+                 lambda r: Minvc * r, jnp.zeros_like(rc), 0.0, 12,
+                 dot=batched_dot(2))
+        e = p * prolongB(pc * ec)
+        return u_w + e[:B], lam_w + e[B:]
+
+    def run(iters, correct_every, tag):
+        H, W = n + 1, n + 1
+        k0 = jnp.ones((B, n, n), jnp.float32)
+        lp0, (gl0, gu0), _, state0 = step_impl(
+            grid, (k0, k0), fB, g0, u_data, scale=scale, iters=iters,
+            block_b=bb, return_state=True)
+        k_init = k0 - lr * (gl0 + gu0)
+
+        def body(carry, i):
+            k, (x_p, l_p) = carry
+            if correct_every:
+                def corrected(args):
+                    k, x_p, l_p = args
+                    C = stencil_coefficients(grid, k, k)
+                    u_w = x_p[:B, :, :W]
+                    lam_w = l_p[:B, :, :W]
+                    u_c, l_c = coarse_correct(k, u_w, lam_w, C)
+                    x_p2 = x_p.at[:B, :, :W].set(u_c)
+                    l_p2 = l_p.at[:B, :, :W].set(l_c)
+                    return x_p2, l_p2
+
+                x_p, l_p = jax.lax.cond(
+                    (i % correct_every) == correct_every - 1,
+                    corrected, lambda a: (a[1], a[2]), (k, x_p, l_p))
+            lp, (gl, gu), _, state = step_impl(
+                grid, (k, k), fB, g0, u_data, scale=scale, iters=iters,
+                block_b=bb, warm_state=(x_p, l_p), return_state=True)
+            k = k - lr * (gl + gu)
+            return (k, state), lp.sum()
+
+        @jax.jit
+        def loop(k, state):
+            (k, state), losses = jax.lax.scan(
+                body, (k, state), jnp.arange(steps))
+            return k, losses
+
+        t0 = time.perf_counter()
+        k, losses = loop(k_init, state0)
+        jax.block_until_ready(losses)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        k, losses = loop(k_init, state0)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / steps
+        tru = float(eval_loss(k))
+        kerr = float(np.max(np.abs(np.asarray(k) - kt)) / np.max(kt))
+        print(f"  {tag}: {B/dt:10,.0f} grad-solves/s  ({dt*1e3:.1f} ms/"
+              f"step, compile {compile_s:.0f}s)  eval_loss={tru:.4e}  "
+              f"kappa_rel_err={kerr:.3e}", flush=True)
+
+    run(32, 0, "warm-32          (baseline)")
+    run(16, 0, "warm-16                    ")
+    run(8, 0, "warm-8                     ")
+    run(8, 4, "warm-8  + coarse every 4   ")
+    run(16, 8, "warm-16 + coarse every 8   ")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""TPU probe: a SHARP control for the 3D iteration-lever claim
+(VERDICT-r3 item 6).
+
+probe_3d_warm.py measured cold-16 ≡ cold-100 at 4-digit eval-loss parity,
+but that workload is heavily underdetermined (one forcing per scenario,
+per-tet κ: max-κ error sits at its insensitive-tet floor), so the parity
+bar was weak.  This probe builds an IDENTIFIABLE inversion:
+
+* M=4 independent forcings per scenario (distinct sine modes) share ONE
+  κ field — the multi-experiment setting where the field is determined;
+* κ is parameterized as exp(trilinear upsample of a coarse parameter
+  grid) — smooth and low-dimensional (identifiable from M forcings),
+  matching how production inversions regularize.
+
+The iteration ladder (100-iter reference vs 32/16/8 fixed trips) is then
+gated on the PARAMETER-κ relative error — the quantity the weak gate
+could not see — plus the converged eval loss.
+
+Run:  python scripts/probe_3d_control.py [n] [B] [steps] [lr] [nc]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from difffe_tpu.ops.stencil3d import (
+        StructuredGrid3, kappa_mse_grad_step_3d,
+        solve_poisson_structured_3d_batched)
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 150
+    lr = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+    nc = int(sys.argv[5]) if len(sys.argv) > 5 else 4   # param grid
+    M = 4
+    grid = StructuredGrid3.unit(n, n, n)
+    ne = grid.n_elements
+    print(f"box({n}^3) B={B} M={M} forcings nc={nc}^3 params "
+          f"steps={steps} lr={lr}", flush=True)
+
+    zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+    pi = jnp.pi
+    modes = [(1, 1, 1), (2, 1, 1), (1, 2, 1), (1, 1, 2)]
+    fs = jnp.stack([
+        ((a ** 2 + b ** 2 + c ** 2) * pi ** 2
+         * jnp.sin(a * pi * xx) * jnp.sin(b * pi * yy)
+         * jnp.sin(c * pi * zz)).astype(jnp.float32)
+        for a, b, c in modes])                       # (M,) + node_shape
+    fBM = jnp.tile(fs, (B, 1, 1, 1))                 # (B*M,) + node_shape
+    g0 = jnp.zeros(grid.node_shape, jnp.float32)
+
+    def upsample(theta):
+        """(B, nc, nc, nc) params → (B, n, n, n) per-cube log-κ, trilinear."""
+        zoom = n // nc
+        t = jnp.repeat(jnp.repeat(jnp.repeat(theta, zoom, -1), zoom, -2),
+                       zoom, -3)
+        return t
+
+    def kappa_of(theta):
+        """θ → per-tet κ (B*M, ne): exp(upsample), 6 tets share a cube,
+        every forcing replica shares the scenario's field."""
+        kc = jnp.exp(upsample(theta))                # (B, n, n, n)
+        kt = jnp.repeat(kc[..., None], 6, axis=-1).reshape(
+            theta.shape[0], ne)
+        return jnp.repeat(kt, M, axis=0)             # (B*M, ne)
+
+    key = jax.random.PRNGKey(5)
+    theta_true = 0.5 * jax.random.normal(key, (B, nc, nc, nc), jnp.float32)
+    k_true_bm = kappa_of(theta_true)
+    u_data = jax.jit(lambda kt: solve_poisson_structured_3d_batched(
+        grid, kt, fBM, g0, 0.0, 300))(k_true_bm)
+    jax.block_until_ready(u_data)
+
+    @jax.jit
+    def eval_loss(theta):
+        u = solve_poisson_structured_3d_batched(
+            grid, kappa_of(theta), fBM, g0, 0.0, 300)
+        return jnp.mean((u - u_data) ** 2)
+
+    kc_true = np.asarray(jnp.exp(upsample(theta_true)))
+
+    def run(iters):
+        theta0 = jnp.zeros((B, nc, nc, nc), jnp.float32)
+
+        def body(theta, _):
+            k, vjp = jax.vjp(kappa_of, theta)
+            loss, gk = kappa_mse_grad_step_3d(grid, k, fBM, g0, u_data,
+                                              iters)
+            (gt,) = vjp(gk)
+            return theta - lr * gt, loss
+
+        @jax.jit
+        def loop(theta):
+            theta, losses = jax.lax.scan(body, theta, None, length=steps)
+            return theta, losses
+
+        theta, losses = loop(theta0)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        theta, losses = loop(theta0)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / steps
+        tru = float(eval_loss(theta))
+        kc = np.asarray(jnp.exp(upsample(theta)))
+        kerr = float(np.max(np.abs(kc - kc_true)) / np.max(kc_true))
+        print(f"  iters={iters:4d}  {B*M/dt:10,.0f} grad-solves/s  "
+              f"loop_loss={float(losses[-1]):.4e}  eval_loss={tru:.4e}  "
+              f"kappa_rel_err={kerr:.3e}", flush=True)
+
+    for iters in (100, 32, 16, 8):
+        run(iters)
+
+
+if __name__ == "__main__":
+    main()

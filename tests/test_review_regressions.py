@@ -213,3 +213,54 @@ class TestSecondReviewRound:
             u = tridiag_solve_pallas(d, e, F, 64, layout)
             np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
                                        atol=1e-10)
+
+
+class TestPostConvergenceStability:
+    """Fixed-trip CG far past convergence must NOT diverge (round-4
+    regression: a 300-iteration f32 batch solve at 8³ reached |u| ~ 9e4 —
+    β of rounding noise compounded into p; the pcg noise-floor freeze
+    clamps α/β once rz falls below (16ε)²·rz₀)."""
+
+    def test_3d_batched_600_iters_stable(self):
+        import jax
+        import jax.numpy as jnp
+        from difffe_tpu.ops.stencil3d import (
+            StructuredGrid3, solve_poisson_structured_3d_batched)
+        n, BM = 8, 8
+        grid = StructuredGrid3.unit(n, n, n)
+        zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+        zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+        pi = jnp.pi
+        f = (3 * pi ** 2 * jnp.sin(pi * xx) * jnp.sin(pi * yy)
+             * jnp.sin(pi * zz)).astype(jnp.float32)
+        fB = jnp.broadcast_to(f, (BM,) + grid.node_shape)
+        g0 = jnp.zeros(grid.node_shape, jnp.float32)
+        k = 1.0 + jnp.abs(jnp.sin(jnp.arange(
+            BM * grid.n_elements, dtype=jnp.float32))).reshape(BM, -1)
+        u100 = jax.jit(lambda kk: solve_poisson_structured_3d_batched(
+            grid, kk, fB, g0, 0.0, 100))(k)
+        u600 = jax.jit(lambda kk: solve_poisson_structured_3d_batched(
+            grid, kk, fB, g0, 0.0, 600))(k)
+        assert bool(jnp.isfinite(u600).all())
+        # 600-iter result must agree with the converged 100-iter one
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(u600), np.asarray(u100),
+                                   atol=1e-4)
+
+    def test_2d_structured_long_fixed_trip_stable(self):
+        import jax
+        import jax.numpy as jnp
+        from difffe_tpu.ops.stencil import (StructuredGrid,
+                                            solve_poisson_structured)
+        n = 8
+        grid = StructuredGrid.unit(n, n)
+        xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+        X, Y = jnp.meshgrid(xs, xs)
+        f = (jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)).astype(jnp.float32)
+        g0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+        kl = 1.0 + 0.5 * jax.random.uniform(jax.random.PRNGKey(0), (n, n),
+                                            jnp.float32)
+        u = jax.jit(lambda k: solve_poisson_structured(
+            grid, (k, k), f, g0, 0.0, 800))(kl)
+        assert bool(jnp.isfinite(u).all())
+        assert float(jnp.max(jnp.abs(u))) < 10.0
