@@ -290,21 +290,38 @@ def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
 
 
 @_ft.lru_cache(maxsize=64)
-def _build_loop_3d(grid, iters, warm, lr, steps):
+def _build_loop_3d(grid, iters, warm, lr, steps, path):
     from .ops.stencil3d import kappa_mse_grad_step_3d
+
+    if path == "pallas":
+        from .ops.pallas.stencil3d_cg_kernel import \
+            fused_kappa_mse_step_3d_pallas
+
+        n_nodes = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
+
+        def step(k, fg, g0, ug, state):
+            B = fg.shape[0]
+            lp, gk, _, state = fused_kappa_mse_step_3d_pallas(
+                grid, k, fg, g0, ug, iters=iters, block_b=1,
+                scale=2.0 / (B * n_nodes),
+                warm_state=state if warm else None, return_state=True)
+            return lp.mean() / n_nodes, gk, state
+    else:
+        def step(k, fg, g0, ug, state):
+            loss, gk, state = kappa_mse_grad_step_3d(
+                grid, k, fg, g0, ug, iters,
+                warm_state=state if warm else None, return_state=True)
+            return loss, gk, state
 
     def body(args, carry, _):
         fg, g0, ug = args
         k, state = carry
-        loss, gk, state = kappa_mse_grad_step_3d(
-            grid, k, fg, g0, ug, iters,
-            warm_state=state if warm else None, return_state=True)
+        loss, gk, state = step(k, fg, g0, ug, state)
         return (k - lr * gk, state), loss
 
     @jax.jit
     def loop(k, fg, g0, ug):
-        loss0, g0k, state0 = kappa_mse_grad_step_3d(
-            grid, k, fg, g0, ug, iters, return_state=True)
+        loss0, g0k, state0 = step(k, fg, g0, ug, None)
         (k, _), losses = jax.lax.scan(
             _ft.partial(body, (fg, g0, ug)), (k - lr * g0k, state0), None,
             length=max(steps - 1, 0))
@@ -339,9 +356,13 @@ def _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
         else jnp.broadcast_to(jnp.asarray(kappa0, mesh.dtype),
                               (B, mesh.n_elements))
 
-    loop = _build_loop_3d(grid, iters, warm, float(lr), steps)
+    from .ops.stencil3d import choose_3d_grad_step
+    path = choose_3d_grad_step(grid, B)
+    loop = _build_loop_3d(grid, iters, warm, float(lr), steps, path)
     kappa, losses = loop(k0, fg, g0, ug)
-    info = {"path": "stencil3d_batchminor", "iters": iters, "warm": warm,
+    name = "stencil3d_pallas" if path == "pallas" \
+        else "stencil3d_batchminor"
+    info = {"path": name, "iters": iters, "warm": warm,
             "loss_history": losses, "eval_loss": None}
     if eval_final:
         ev = _build_eval_3d(grid, max(4 * iters, 256))

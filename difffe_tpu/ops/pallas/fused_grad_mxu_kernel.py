@@ -107,6 +107,13 @@ def _mxu_body(lk, f, ud, cols, W, loss_ref, grad_ref, scale: float):
     grad_ref[:] = (scale * kappa) * gk
 
 
+# Probe-only ablation knobs (scripts/probe_mxu_binding.py): read at TRACE
+# time — set + jax.clear_caches() to take effect.  Production leaves them
+# alone (HIGHEST precision, matmuls on).
+_V2_PRECISION = jax.lax.Precision.HIGHEST
+_V2_SKIP_MATMUL = False
+
+
 def _mxu_body_v2(lk, pf, ud, cols, W, loss_ref, grad_ref, scale: float):
     """Folded-RHS body (round 4): the factorized system's algebra collapses
     the per-(N, L)-plane VPU work of _mxu_body to TWO fmas + the loss and
@@ -131,14 +138,17 @@ def _mxu_body_v2(lk, pf, ud, cols, W, loss_ref, grad_ref, scale: float):
     kappa = jnp.exp(lk)                           # (1, L)
     kinv = 1.0 / kappa                            # (1, L)
     x = rhs0 + kinv * pf                          # (N, L) fma
-    u = jnp.dot(W, x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    if _V2_SKIP_MATMUL:                           # probe ablation only
+        u, solve = x, (lambda y: y)
+    else:
+        solve = lambda y: jnp.dot(
+            W, y, preferred_element_type=jnp.float32,
+            precision=_V2_PRECISION)
+        u = solve(x)
     diff = u - ud
     loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
     dinv = m + p * kinv                           # (N, L) fma
-    lam = jnp.dot(W, dinv * diff,
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+    lam = solve(dinv * diff)
     grad_ref[:] = (-scale) * jnp.sum(lam * pf, axis=0, keepdims=True)
 
 

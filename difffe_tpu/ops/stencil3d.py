@@ -665,6 +665,31 @@ def kappa_mse_grad_step_3d(grid: StructuredGrid3, kappa, f, g, u_data,
     return loss, gk
 
 
+def choose_3d_grad_step(grid: StructuredGrid3, batch: int) -> str:
+    """Pick the per-tet κ-inversion GRAD-STEP implementation from the
+    measured TPU boundaries (round 4, scripts/probe_3d_kernel.py,
+    16-iter fixed-trip steps):
+
+    * 16³ B=256: XLA batch-minor 73.9k vs Pallas kernel 62.6k — small
+      grids keep the lane-packed batch advantage → ``'xla_bm'``;
+    * 32³ B=128: Pallas whole-CG kernel 10.9k vs XLA 3.7k (2.92×) →
+      ``'pallas'`` once per-scenario state dominates (boundary
+      interpolated at ~10⁴ nodes — measured only at 16³/32³);
+    * past the kernel's VMEM estimate or the remote-compile grid cap
+      (B/block ≤ 8 at large plane sizes, measured at 48³) → ``'xla_bm'``.
+
+    Returns 'xla_bm' (kappa_mse_grad_step_3d) or 'pallas'
+    (ops.pallas.stencil3d_cg_kernel.fused_kappa_mse_step_3d_pallas).
+    """
+    from .pallas.stencil3d_cg_kernel import fused_fits
+    n_nodes = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
+    if n_nodes <= 10_000:
+        return "xla_bm"
+    if not fused_fits(grid.node_shape):
+        return "xla_bm"
+    return "pallas"
+
+
 def choose_3d_path(grid: StructuredGrid3, batch: int):
     """Pick the batched 3D solve layout from measured TPU boundaries.
 

@@ -1,0 +1,138 @@
+"""TPU probe: 3D whole-CG Pallas kernel vs the XLA batch-minor path
+(VERDICT-r3 item 2 — target: ≥3× XLA at 32³, clearing the ≥10⁴ bar).
+
+Chained SGD grad-step timing at the probe_3d_warm workload (per-tet κ
+inversion, fixed-trip CG), comparing:
+  * XLA batch-minor kappa_mse_grad_step_3d (the round-3 production path)
+  * the fused one-launch 3D Pallas kernel (fused_kappa_mse_step_3d_pallas)
+at matched iteration counts, plus a compile-boundary scan (block_b, 48³).
+
+Run:  python scripts/probe_3d_kernel.py [sizes...]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def setup(n, B):
+    from difffe_tpu.ops.stencil3d import StructuredGrid3
+    grid = StructuredGrid3.unit(n, n, n)
+    zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+    pi = jnp.pi
+    f = (3 * pi ** 2 * jnp.sin(pi * xx) * jnp.sin(pi * yy)
+         * jnp.sin(pi * zz)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f, (B,) + grid.node_shape)
+    g0 = jnp.zeros(grid.node_shape, jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, grid.n_elements), jnp.float32)
+    return grid, fB, g0, k_true
+
+
+def main():
+    from difffe_tpu.ops.stencil3d import (
+        kappa_mse_grad_step_3d, solve_poisson_structured_3d_batched)
+    from difffe_tpu.ops.pallas.stencil3d_cg_kernel import (
+        fused_kappa_mse_step_3d_pallas)
+
+    cfgs = [(16, 256, 2), (32, 128, 1), (48, 32, 1)]
+    if len(sys.argv) > 1:
+        cfgs = [c for c in cfgs if str(c[0]) in sys.argv[1:]]
+
+    for n, B, bb in cfgs:
+        grid, fB, g0, k_true = setup(n, B)
+        print(f"--- box({n}^3) B={B} block_b={bb}", flush=True)
+        try:
+            u_data = jax.jit(lambda kt: solve_poisson_structured_3d_batched(
+                grid, kt, fB, g0, 0.0, 200))(k_true)
+            jax.block_until_ready(u_data)
+        except Exception as e:
+            print(f"  u_data FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+
+        lr = 100.0
+
+        def run_xla(iters, steps=20):
+            def body(carry, _):
+                k, state = carry
+                loss, gk, state = kappa_mse_grad_step_3d(
+                    grid, k, fB, g0, u_data, iters, return_state=True)
+                return (k - lr * gk, state), loss
+
+            @jax.jit
+            def loop(k):
+                _, g0k, st0 = kappa_mse_grad_step_3d(
+                    grid, k, fB, g0, u_data, iters, return_state=True)
+                (k, _), losses = jax.lax.scan(body, (k - lr * g0k, st0),
+                                              None, length=steps)
+                return k, losses
+
+            k0 = jnp.ones((B, grid.n_elements), jnp.float32)
+            k, losses = loop(k0)
+            jax.block_until_ready(losses)
+            t0 = time.perf_counter()
+            k, losses = loop(k0)
+            jax.block_until_ready(losses)
+            dt = (time.perf_counter() - t0) / steps
+            print(f"  XLA batch-minor iters={iters:3d}: "
+                  f"{B/dt:10,.0f} grad-solves/s ({dt*1e3:.1f} ms/step, "
+                  f"finite={bool(np.isfinite(losses[-1]))})", flush=True)
+            return B / dt
+
+        def run_kernel(iters, warm, steps=20):
+            try:
+                scale = 2.0 / (B * (n + 1) ** 3)
+                lp0, gk0, _, st0 = fused_kappa_mse_step_3d_pallas(
+                    grid, k_true * 0 + 1.0, fB, g0, u_data, iters=iters,
+                    block_b=bb, scale=scale, return_state=True)
+                jax.block_until_ready(lp0)
+            except Exception as e:
+                print(f"  Pallas iters={iters} COMPILE/RUN FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                return None
+
+            def body(carry, _):
+                k, state = carry
+                lp, gk, _, state = fused_kappa_mse_step_3d_pallas(
+                    grid, k, fB, g0, u_data, iters=iters, block_b=bb,
+                    scale=scale, warm_state=state if warm else None,
+                    return_state=True)
+                return (k - lr * gk, state), lp.sum()
+
+            @jax.jit
+            def loop(k, st):
+                (k, st), losses = jax.lax.scan(body, (k, st), None,
+                                               length=steps)
+                return k, losses
+
+            k0 = jnp.ones((B, grid.n_elements), jnp.float32)
+            t0 = time.perf_counter()
+            k, losses = loop(k0, st0)
+            jax.block_until_ready(losses)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            k, losses = loop(k0, st0)
+            jax.block_until_ready(losses)
+            dt = (time.perf_counter() - t0) / steps
+            print(f"  Pallas fused iters={iters:3d} warm={int(warm)}: "
+                  f"{B/dt:10,.0f} grad-solves/s ({dt*1e3:.1f} ms/step, "
+                  f"compile {compile_s:.0f}s, "
+                  f"finite={bool(np.isfinite(losses[-1]))})", flush=True)
+            return B / dt
+
+        r_x = run_xla(16)
+        r_k = run_kernel(16, warm=False)
+        if r_k:
+            print(f"  kernel/XLA at iters=16: {r_k/r_x:.2f}x", flush=True)
+        run_kernel(16, warm=True)
+        if n >= 32:
+            run_xla(32)
+            run_kernel(32, warm=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""TPU probe: WHAT binds the headline MXU kernel at ~800M grad-solves/s.
+
+probe_mxu_v2.py established HBM is at 15% of ceiling and the v2 VPU-op
+collapse bought only 1.05× — so the remaining candidates are (a) the two
+3-pass HIGHEST matmuls, (b) dispatch/grid overhead, (c) the irreducible
+VPU floor.  Attribution by ablation (timing-only variants, gate-invalid
+gradients clearly marked):
+
+  * baseline v2 (HIGHEST matmuls)
+  * DEFAULT-precision matmuls (1 bf16 pass instead of 3 — if this is
+    ~the matmul share faster, passes bind; its gradient error vs HIGHEST
+    is printed, it FAILS the 1e-4 gate — measured 2.6e-3 in round 2)
+  * matmuls REMOVED (u = x) — the VPU+HBM+dispatch floor
+  * block_lanes sweep — dispatch amortization knee
+
+Run:  python scripts/probe_mxu_binding.py [B]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.solver import solve_poisson_batched
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.pallas import fused_grad_mxu_kernel as K
+    from difffe_tpu.utils.profiling import timeit_chained
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2097152
+    mesh = FEMesh.line(n_elements=30, dtype=jnp.float32)
+    x = mesh.nodes[:, 0]
+    fv = jnp.sin(jnp.pi * x) + 1.0
+    Fs = assemble_load(mesh, fv)
+    k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,),
+                                      jnp.float32) * 2.0
+    f = jnp.broadcast_to(fv, (B, mesh.n_nodes))
+    u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                   kappa_batched=True)
+    print(f"n=30 B={B} bf16 operands, shared-F, v2 body", flush=True)
+
+    def rate(L=4096):
+        def s(lk, F_, ud_):
+            _, g = K.fused_kappa_mse_step_mxu(mesh, lk, F_, ud_,
+                                              block_lanes=L,
+                                              operand_dtype=jnp.bfloat16,
+                                              version=2)
+            return lk - 0.3 * g
+        dt = timeit_chained(s, jnp.zeros((B,), jnp.float32),
+                            length=24, repeats=3, args=(Fs, u_data)).min_s
+        return B / dt
+
+    def grad_at(lk_val):
+        _, g = K.fused_kappa_mse_step_mxu(mesh, lk_val, Fs, u_data[:8192],
+                                          block_lanes=1024, version=2)
+        return g
+
+    lk_t = jnp.log(k_true[:8192]) * 0.5
+
+    r0 = rate()
+    g_hi = grad_at(lk_t)
+    print(f"  baseline (HIGHEST):      {r0/1e6:9.1f} M/s", flush=True)
+
+    K._V2_PRECISION = jax.lax.Precision.DEFAULT
+    jax.clear_caches()
+    r1 = rate()
+    g_def = grad_at(lk_t)
+    err = float(jnp.max(jnp.abs(g_def - g_hi)) / jnp.max(jnp.abs(g_hi)))
+    print(f"  DEFAULT matmuls:         {r1/1e6:9.1f} M/s   "
+          f"(grad err vs HIGHEST {err:.2e} — gate-invalid)", flush=True)
+
+    K._V2_PRECISION = jax.lax.Precision.HIGHEST
+    K._V2_SKIP_MATMUL = True
+    jax.clear_caches()
+    r2 = rate()
+    print(f"  matmuls removed (floor): {r2/1e6:9.1f} M/s   "
+          f"(timing-only)", flush=True)
+    K._V2_SKIP_MATMUL = False
+    jax.clear_caches()
+
+    t_base, t_def, t_floor = B / r0, B / r1, B / r2
+    print(f"  attribution per scenario-step: total {t_base*1e9:.2f} ns | "
+          f"matmuls(HIGHEST) {(t_base-t_floor)*1e9:.2f} ns | "
+          f"matmuls(DEFAULT) {(t_def-t_floor)*1e9:.2f} ns | "
+          f"floor {t_floor*1e9:.2f} ns", flush=True)
+
+    for L in (8192, 16384):
+        r = rate(L)
+        print(f"  block_lanes={L:6d}:      {r/1e6:9.1f} M/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Evidence-drift guard (VERDICT-r3 item 4): the headline number in
+README.md and docs/PERFORMANCE.md must match BENCH_local.json.
+
+Rounds 2 and 3 both ended with the primary evidence file describing a
+stale kernel (566M on file while the driver recorded 840M).  This test
+makes that structurally impossible: any doc headline more than the
+tunnel-session tolerance away from the measured BENCH_local.json value
+fails the suite, so bench_full.py must be re-run (and the docs updated)
+whenever the headline moves.
+"""
+
+import json
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+#: remote-tunnel session-to-session variance allowance; catches the
+#: 566-vs-840 (1.48×) class of drift while tolerating ~±25% noise.
+TOLERANCE = 0.35
+
+
+def _bench_headline():
+    path = os.path.join(ROOT, "BENCH_local.json")
+    if not os.path.exists(path):
+        pytest.skip("no BENCH_local.json")
+    data = json.load(open(path))
+    if "headline_grad_solves_per_s" not in data:
+        pytest.skip("BENCH_local.json predates the headline alias key")
+    return float(data["headline_grad_solves_per_s"])
+
+
+def _doc_headline_millions(path, pattern):
+    text = open(os.path.join(ROOT, path)).read()
+    m = re.search(pattern, text)
+    assert m, f"no headline number found in {path} (pattern {pattern!r})"
+    return float(m.group(1)) * 1e6
+
+
+class TestHeadlineConsistency:
+    def test_readme_matches_bench(self):
+        bench = _bench_headline()
+        readme = _doc_headline_millions(
+            "README.md", r"\*\*([\d.]+)\s*M\*\*[^.]*solves/s")
+        assert abs(readme - bench) <= TOLERANCE * bench, (
+            f"README headline {readme/1e6:.1f}M vs BENCH_local "
+            f"{bench/1e6:.1f}M — rerun bench_full.py and update README")
+
+    def test_performance_md_matches_bench(self):
+        bench = _bench_headline()
+        perf = _doc_headline_millions(
+            "docs/PERFORMANCE.md",
+            r"bench\.py[^|]*\|[^|]*\|\s*\*\*([\d.]+)\s*M\*\*")
+        assert abs(perf - bench) <= TOLERANCE * bench, (
+            f"PERFORMANCE.md headline {perf/1e6:.1f}M vs BENCH_local "
+            f"{bench/1e6:.1f}M — rerun bench_full.py and update the "
+            f"headline table")

@@ -1,0 +1,124 @@
+"""3D whole-CG Pallas kernel: exact-match + gradient parity vs the XLA
+structured path (interpret mode on CPU — the Mosaic path is exercised on
+TPU by scripts/probe_3d_kernel.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.ops.stencil3d import (StructuredGrid3,
+                                      solve_poisson_structured_3d,
+                                      solve_poisson_structured_3d_batched)
+from difffe_tpu.ops.pallas.stencil3d_cg_kernel import (
+    fused_kappa_mse_step_3d_pallas, solve_structured_pallas_3d)
+
+
+def _setup(n=6, B=3, seed=0):
+    grid = StructuredGrid3.unit(n, n, n)
+    zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+    pi = jnp.pi
+    f = (3 * pi ** 2 * jnp.sin(pi * xx) * jnp.sin(pi * yy)
+         * jnp.sin(pi * zz)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f, (B,) + grid.node_shape)
+    g0 = jnp.zeros(grid.node_shape, jnp.float32)
+    kB = 1.0 + jax.random.uniform(jax.random.PRNGKey(seed),
+                                  (B, grid.n_elements), jnp.float32)
+    return grid, fB, g0, kB
+
+
+class TestSolveParity:
+    def test_matches_xla_batched(self):
+        grid, fB, g0, kB = _setup()
+        u_ref = solve_poisson_structured_3d_batched(grid, kB, fB, g0,
+                                                    0.0, 120)
+        u_k = solve_structured_pallas_3d(grid, kB, fB, g0, iters=120)
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   atol=2e-5)
+
+    def test_single_scenario_unbatched(self):
+        grid, fB, g0, kB = _setup(B=1)
+        u_ref = solve_poisson_structured_3d(grid, kB[0], fB[0], g0,
+                                            0.0, 120)
+        u_k = solve_structured_pallas_3d(grid, kB[0], fB[0], g0,
+                                         iters=120)
+        assert u_k.shape == u_ref.shape
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   atol=2e-5)
+
+    def test_block_b_grouping(self):
+        grid, fB, g0, kB = _setup(B=4)
+        u1 = solve_structured_pallas_3d(grid, kB, fB, g0, iters=80,
+                                        block_b=1)
+        u2 = solve_structured_pallas_3d(grid, kB, fB, g0, iters=80,
+                                        block_b=2)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                   atol=1e-6)
+
+    def test_anisotropic_spacing(self):
+        grid = StructuredGrid3(nx=4, ny=5, nz=6, hx=0.25, hy=0.2,
+                               hz=1.0 / 6.0)
+        f = jnp.ones(grid.node_shape, jnp.float32)
+        g0 = jnp.zeros(grid.node_shape, jnp.float32)
+        k = 1.0 + 0.5 * jax.random.uniform(
+            jax.random.PRNGKey(2), (grid.n_elements,), jnp.float32)
+        u_ref = solve_poisson_structured_3d(grid, k, f, g0, 0.0, 150)
+        u_k = solve_structured_pallas_3d(grid, k, f, g0, iters=150)
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   atol=2e-5)
+
+
+class TestGradParity:
+    def test_kappa_f_gradients(self):
+        grid, fB, g0, kB = _setup()
+        ud = solve_poisson_structured_3d_batched(grid, kB, fB, g0,
+                                                 0.0, 150) + 0.01
+
+        def loss_ref(k, f):
+            u = solve_poisson_structured_3d_batched(grid, k, f, g0,
+                                                    0.0, 120)
+            return jnp.mean((u - ud) ** 2)
+
+        def loss_k(k, f):
+            u = solve_structured_pallas_3d(grid, k, f, g0, iters=120)
+            return jnp.mean((u - ud) ** 2)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(kB, fB)
+        gk = jax.grad(loss_k, argnums=(0, 1))(kB, fB)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                                   atol=1e-6)
+
+
+class TestFusedStep:
+    def test_matches_two_step_gradients(self):
+        from difffe_tpu.ops.stencil3d import kappa_mse_grad_step_3d
+        grid, fB, g0, kB = _setup()
+        ud = solve_poisson_structured_3d_batched(grid, kB, fB, g0,
+                                                 0.0, 150) + 0.01
+        loss_b, gk_b = kappa_mse_grad_step_3d(grid, kB, fB, g0, ud, 120)
+        lp, gk, u = fused_kappa_mse_step_3d_pallas(grid, kB, fB, g0, ud,
+                                                   iters=120)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_b),
+                                   atol=1e-6)
+        B = fB.shape[0]
+        scale_mse = 1.0 / (B * np.prod(grid.node_shape))
+        np.testing.assert_allclose(float(jnp.sum(lp) * scale_mse),
+                                   float(loss_b), rtol=1e-4)
+
+    def test_warm_state_threads(self):
+        grid, fB, g0, kB = _setup()
+        ud = solve_poisson_structured_3d_batched(grid, kB, fB, g0,
+                                                 0.0, 150) + 0.01
+        lp, gk, u, state = fused_kappa_mse_step_3d_pallas(
+            grid, kB, fB, g0, ud, iters=60, return_state=True)
+        # a warm second step from the converged state matches a cold
+        # deep solve's gradient closely
+        lp2, gk2, u2 = fused_kappa_mse_step_3d_pallas(
+            grid, kB, fB, g0, ud, iters=8, warm_state=state)
+        lp3, gk3, u3 = fused_kappa_mse_step_3d_pallas(
+            grid, kB, fB, g0, ud, iters=120)
+        np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk3),
+                                   atol=1e-6)

@@ -326,3 +326,25 @@ def test_kappa_mse_grad_step_matches_autodiff():
                                     warm_state=st)
     np.testing.assert_allclose(float(L3), float(L), rtol=1e-10)
     np.testing.assert_allclose(np.array(G3), np.array(G), atol=1e-16)
+
+
+class TestGradStepDispatch:
+    """choose_3d_grad_step encodes the measured round-4 boundaries."""
+
+    def test_small_grid_stays_xla_batchminor(self):
+        from difffe_tpu.ops.stencil3d import (StructuredGrid3,
+                                              choose_3d_grad_step)
+        assert choose_3d_grad_step(StructuredGrid3.unit(16, 16, 16),
+                                   256) == "xla_bm"
+
+    def test_32cube_takes_pallas_kernel(self):
+        from difffe_tpu.ops.stencil3d import (StructuredGrid3,
+                                              choose_3d_grad_step)
+        assert choose_3d_grad_step(StructuredGrid3.unit(32, 32, 32),
+                                   128) == "pallas"
+
+    def test_past_vmem_falls_back(self):
+        from difffe_tpu.ops.stencil3d import (StructuredGrid3,
+                                              choose_3d_grad_step)
+        assert choose_3d_grad_step(StructuredGrid3.unit(64, 64, 64),
+                                   32) == "xla_bm"
