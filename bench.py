@@ -43,11 +43,18 @@ BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
 N_ELEMENTS = 30
 # Batch sweep 2026-08-19 (chained, MXU kernel, L=4096): 256k -> 205M,
 # 1M -> 461-481M, 2M -> 568M.  Large batch amortizes per-dispatch cost;
-# L in {4096..16384} is within noise.
+# round 4 re-measured L: 8192 is ~+4% over 4096 (probe_mxu_binding.py).
 BATCH = 2097152
-BLOCK_LANES = 4096
+BLOCK_LANES = 8192
 SCAN_STEPS = 30
 REPEATS = 3
+# Round-4 kernel version: v3 = folded-RHS + DEFAULT-precision matmuls
+# with 2 tridiagonal residual-refinement passes — measured 833.6 M/s vs
+# v1's 773.9 same-session, grad parity 6.2e-5 (the in-run 1e-4 gate
+# below verifies every run).  refine=1 reaches 1020 M/s but fails the
+# gate at 1.4e-3 (scripts/probe_mxu_refine.py ladder).
+KERNEL_VERSION = 3
+KERNEL_REFINE = 2
 
 
 def main():
@@ -79,7 +86,8 @@ def main():
     lk0 = jnp.zeros((BATCH,), dtype)
     _, g_fused = jax.jit(lambda lk, F_, ud_: fused_kappa_mse_step_mxu(
         mesh, lk, F_, ud_, block_lanes=BLOCK_LANES,
-        operand_dtype=jnp.bfloat16))(lk0, F, u_store.astype(dtype))
+        operand_dtype=jnp.bfloat16, version=KERNEL_VERSION,
+        refine=KERNEL_REFINE))(lk0, F, u_store.astype(dtype))
 
     def loss_xla(lk, f_, ud_):
         u = solve_poisson_batched(mesh, jnp.exp(lk), f_, method="tridiag",
@@ -102,7 +110,9 @@ def main():
         def step(lk, _):
             _, g = fused_kappa_mse_step_mxu(mesh, lk, F_, ud_,
                                             block_lanes=BLOCK_LANES,
-                                            operand_dtype=jnp.bfloat16)
+                                            operand_dtype=jnp.bfloat16,
+                                            version=KERNEL_VERSION,
+                                            refine=KERNEL_REFINE)
             return lk - 0.3 * g, ()
         lk, _ = jax.lax.scan(step, lk, None, length=SCAN_STEPS)
         return lk
@@ -121,7 +131,8 @@ def main():
     print(json.dumps({
         "metric": "batched differentiable 1D FEM solves/s/chip "
                   "(fwd+adjoint, 30-elem mesh, MXU-factorized fused grad step, "
-                  "bf16 operand storage + f32 compute, shared-F VMEM-resident, "
+                  "bf16 operand storage, DEFAULT-matmul + 2-pass tridiag refinement, "
+                  "shared-F VMEM-resident, "
                   "chained-scan timing)",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",

@@ -152,6 +152,79 @@ def _mxu_body_v2(lk, pf, ud, cols, W, loss_ref, grad_ref, scale: float):
     grad_ref[:] = (-scale) * jnp.sum(lam * pf, axis=0, keepdims=True)
 
 
+def _mxu_body_v3(lk, pf, ud, cols, W, loss_ref, grad_ref, scale: float,
+                 refine: int = 3):
+    """v3 = v2's folded RHS + DEFAULT-precision matmuls with ``refine``
+    tridiagonal residual-refinement passes per solve.
+
+    Measured attribution (scripts/probe_mxu_binding.py, TPU v5e,
+    B=2M): DEFAULT-precision matmuls run at the no-matmul floor
+    (1174 ≡ 1173 M/s — the MXU work is fully hidden), while the
+    HIGHEST 3-pass algorithm costs 32% of total step time; but a single
+    DEFAULT pass truncates operands to bf16 (grad error 8e-3 — fails the
+    1e-4 parity gate).  The cure is structural: W is the inverse of a
+    TRIDIAGONAL system, so the residual r = x − T̃₁·u costs three fused
+    multiply-adds on the VPU, and each refinement u += W·r (another
+    hidden DEFAULT pass) contracts the truncation error by the measured
+    ~6× (ρ ≈ ε_bf16·κ-alignment, probe_mxu_v2.py ladder): 1 pass 1.4e-3,
+    3 passes pass the 1e-4 gate.  Net: most of the 32% matmul tax
+    vanishes."""
+    m = cols[:, _COL_M:_COL_M + 1]
+    p = cols[:, _COL_P:_COL_P + 1]
+    rhs0 = cols[:, _COL_RHS0:_COL_RHS0 + 1]
+    d0 = cols[:, _COL_D0:_COL_D0 + 1]
+    a0 = cols[:, _COL_A0:_COL_A0 + 1]
+    c0 = cols[:, _COL_C0:_COL_C0 + 1]
+
+    zero = jnp.zeros((), cols.dtype)
+
+    def T1(u):
+        # eliminated unit-κ system: identity on Dirichlet/padded rows
+        u_im1 = _shift_kernel_up_rows(u, 1, zero)
+        u_ip1 = _shift_kernel_down_rows(u, 1, zero)
+        return (m + d0) * u + a0 * u_im1 + c0 * u_ip1
+
+    def solve(y):
+        u = jnp.dot(W, y, preferred_element_type=jnp.float32)
+        for _ in range(refine):
+            r = y - T1(u)
+            u = u + jnp.dot(W, r, preferred_element_type=jnp.float32)
+        return u
+
+    kappa = jnp.exp(lk)
+    kinv = 1.0 / kappa
+    x = rhs0 + kinv * pf
+    u = solve(x)
+    diff = u - ud
+    loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
+    dinv = m + p * kinv
+    lam = solve(dinv * diff)
+    grad_ref[:] = (-scale) * jnp.sum(lam * pf, axis=0, keepdims=True)
+
+
+def _mxu_step_kernel_v3(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
+                        loss_ref, grad_ref, *, n_rows: int, scale: float,
+                        refine: int = 3):
+    cols = cols_ref[:]
+    W = w_ref[:][:, :n_rows]
+    p = cols[:, _COL_P:_COL_P + 1]
+    pf = p * f_ref[:].astype(cols.dtype)
+    _mxu_body_v3(lk_ref[:].astype(cols.dtype), pf,
+                 ud_ref[:].astype(cols.dtype), cols, W,
+                 loss_ref, grad_ref, scale, refine=refine)
+
+
+def _mxu_step_kernel_shared_f_v3(lk_ref, ud_ref, cols_ref, w_ref,
+                                 loss_ref, grad_ref, *, n_rows: int,
+                                 scale: float, refine: int = 3):
+    cols = cols_ref[:]
+    W = w_ref[:][:, :n_rows]
+    pf = cols[:, _COL_PF:_COL_PF + 1]
+    _mxu_body_v3(lk_ref[:].astype(cols.dtype), pf,
+                 ud_ref[:].astype(cols.dtype), cols, W,
+                 loss_ref, grad_ref, scale, refine=refine)
+
+
 def _mxu_step_kernel_v2(lk_ref, f_ref, ud_ref, cols_ref, w_ref,
                         loss_ref, grad_ref, *, n_rows: int, scale: float):
     """Streamed-F v2: F plane (N, L) in HBM; PF = p·f computed in-kernel."""
@@ -205,10 +278,10 @@ def _mxu_step_kernel_shared_f(lk_ref, ud_ref, cols_ref, w_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_rows", "scale", "block_lanes",
-                                    "shared_f", "version"))
+                                    "shared_f", "version", "refine"))
 def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
                 block_lanes: int, shared_f: bool = False,
-                version: int = 2):
+                version: int = 2, refine: int = 3):
     N, B = ud.shape
     Wc = W.shape[1]
     row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
@@ -219,16 +292,19 @@ def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
                           memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((N, Wc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
+    kw = {"refine": refine} if version == 3 else {}
     if shared_f:
-        kfn = (_mxu_step_kernel_shared_f_v2 if version == 2
-               else _mxu_step_kernel_shared_f)
-        kernel = functools.partial(kfn, n_rows=n_rows, scale=scale)
+        kfn = {1: _mxu_step_kernel_shared_f,
+               2: _mxu_step_kernel_shared_f_v2,
+               3: _mxu_step_kernel_shared_f_v3}[version]
+        kernel = functools.partial(kfn, n_rows=n_rows, scale=scale, **kw)
         in_specs = [row, plane, shared, wspec]
         operands = (lk, ud, cols, W)
         f_bytes = 0
     else:
-        kfn = _mxu_step_kernel_v2 if version == 2 else _mxu_step_kernel
-        kernel = functools.partial(kfn, n_rows=n_rows, scale=scale)
+        kfn = {1: _mxu_step_kernel, 2: _mxu_step_kernel_v2,
+               3: _mxu_step_kernel_v3}[version]
+        kernel = functools.partial(kfn, n_rows=n_rows, scale=scale, **kw)
         in_specs = [row, plane, plane, shared, wspec]
         operands = (lk, F, ud, cols, W)
         f_bytes = B * N * F.dtype.itemsize
@@ -253,7 +329,8 @@ def _mxu_pallas(lk, F, ud, cols, W, n_rows: int, scale: float,
 def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
                              u_data: jax.Array, scale: float | None = None,
                              block_lanes: int = 1024,
-                             operand_dtype=None, version: int = 2):
+                             operand_dtype=None, version: int = 2,
+                             refine: int = 3):
     """MXU variant of fused_kappa_mse_step — per-scenario SCALAR κ only.
 
     Same contract and return values as
@@ -361,5 +438,6 @@ def fused_kappa_mse_step_mxu(mesh, log_k: jax.Array, F: jax.Array,
         .astype(st_dtype)
 
     lp, gk = _mxu_pallas(lk, FT, udT, cols, W, N, float(scale),
-                         block_lanes, shared_f=shared_f, version=version)
+                         block_lanes, shared_f=shared_f, version=version,
+                         refine=refine)
     return lp[0, :B].astype(dtype), gk[0, :B].astype(dtype)

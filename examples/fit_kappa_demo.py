@@ -1,0 +1,55 @@
+"""The front-door inversion workflow: FEMesh factories + fit_kappa.
+
+Round 4's ergonomic promise (VERDICT-r3 item 1): a user who builds a
+structured mesh and calls the DEFAULT APIs gets the measured production
+fast paths — no knowledge of stencil modules, Pallas kernels, warm
+starts, or iteration counts required.
+
+* ``solve_poisson(mesh, κ, f)`` on a ``FEMesh.rectangle``/``box`` routes
+  to the closed-form stencil solvers (method="auto");
+* ``fit_kappa(mesh, f, u_data)`` runs the whole SGD κ-field inversion on
+  the routed kernels with the measured iters/warm policy baked in.
+
+Run: python examples/fit_kappa_demo.py         (CPU-friendly sizes)
+CLI face of the same flow:  python -m difffe_tpu.cli invert --dim 2
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu") if jax.default_backend() not \
+    in ("tpu", "axon") else None
+
+import jax.numpy as jnp
+
+from difffe_tpu import FEMesh, fit_kappa, solve_poisson_batched
+
+
+def run(mesh, tag, steps, lr=None):
+    B = 4
+    f = 10.0 * jnp.prod(jnp.sin(jnp.pi * mesh.nodes), axis=1)
+    fB = jnp.broadcast_to(f, (B, mesh.n_nodes)).astype(mesh.dtype)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(7), (B, mesh.n_elements), mesh.dtype)
+    u_data = solve_poisson_batched(mesh, k_true, fB,
+                                   cg_tol=0.0, cg_maxiter=200)
+
+    kappa, info = fit_kappa(mesh, fB, u_data, steps=steps, lr=lr)
+    print(f"{tag}: path={info['path']} iters={info['iters']} "
+          f"warm={info['warm']}")
+    print(f"  loss {float(info['loss_history'][0]):.3e} → "
+          f"{float(info['loss_history'][-1]):.3e}  "
+          f"(converged eval {info['eval_loss']:.3e})")
+    kerr = float(jnp.max(jnp.abs(kappa - k_true)) / jnp.max(k_true))
+    print(f"  κ max rel err {kerr:.3f} over {mesh.n_elements} "
+          f"elements × {B} scenarios")
+
+
+def main():
+    run(FEMesh.rectangle(12, 12, dtype=jnp.float32), "2D rectangle 12²",
+        steps=120)
+    run(FEMesh.box(5, 5, 5, dtype=jnp.float32), "3D box 5³",
+        steps=120, lr=50.0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""TPU probe: v3 refinement-depth ladder — rate + hardware grad parity
+per number of tridiagonal residual-refinement passes.
+
+probe_mxu_v2.py measured refine=1 at 1020 M/s but 1.37e-3 parity
+(gate-invalid); the contraction per pass is ~6×, so 2-3 passes should
+land under the 1e-4 gate.  Each extra pass is one hidden DEFAULT matmul
++ one cheap VPU tridiagonal matvec — this ladder measures what that
+actually costs and which depth is the production point.
+
+Run:  python scripts/probe_mxu_refine.py [B]
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.solver import solve_poisson_batched
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+        fused_kappa_mse_step_mxu
+    from difffe_tpu.utils.profiling import timeit_chained
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2097152
+    mesh = FEMesh.line(n_elements=30, dtype=jnp.float32)
+    x = mesh.nodes[:, 0]
+    fv = jnp.sin(jnp.pi * x) + 1.0
+    Fs = assemble_load(mesh, fv)
+    k_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,),
+                                      jnp.float32) * 2.0
+    f = jnp.broadcast_to(fv, (B, mesh.n_nodes))
+    u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
+                                   kappa_batched=True)
+    print(f"n=30 B={B} bf16 operands, shared-F, v3 refine ladder",
+          flush=True)
+
+    lk_t = jnp.log(k_true[:8192]) * 0.5
+    _, g_hi = fused_kappa_mse_step_mxu(mesh, lk_t, Fs, u_data[:8192],
+                                       block_lanes=1024, version=1)
+
+    def rate(refine):
+        def s(lk, F_, ud_):
+            _, g = fused_kappa_mse_step_mxu(mesh, lk, F_, ud_,
+                                            block_lanes=4096,
+                                            operand_dtype=jnp.bfloat16,
+                                            version=3, refine=refine)
+            return lk - 0.3 * g
+        return B / timeit_chained(s, jnp.zeros((B,), jnp.float32),
+                                  length=24, repeats=3,
+                                  args=(Fs, u_data)).min_s
+
+    for refine in (1, 2, 3, 4):
+        _, g = fused_kappa_mse_step_mxu(mesh, lk_t, Fs, u_data[:8192],
+                                        block_lanes=1024, version=3,
+                                        refine=refine)
+        rel = float(jnp.max(jnp.abs(g - g_hi)) / jnp.max(jnp.abs(g_hi)))
+        r = rate(refine)
+        gate = "PASS" if rel < 1e-4 else "fail"
+        print(f"  refine={refine}: {r/1e6:9.1f} M/s   parity {rel:.3e} "
+              f"[{gate}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

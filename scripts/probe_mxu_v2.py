@@ -44,16 +44,18 @@ def main():
                                    kappa_batched=True)
     print(f"n=30 B={B} L={L} bf16 operands, shared-F", flush=True)
 
-    # parity: v1 vs v2 on identical inputs (small slice, f32 exact compare)
+    # parity: v2/v3 vs v1 on identical inputs (small slice)
     lk_test = jnp.log(k_true[:8192]) * 0.5
     l1, g1 = fused_kappa_mse_step_mxu(mesh, lk_test, Fs, u_data[:8192],
                                       block_lanes=1024, version=1)
-    l2, g2 = fused_kappa_mse_step_mxu(mesh, lk_test, Fs, u_data[:8192],
-                                      block_lanes=1024, version=2)
-    rel = float(jnp.max(jnp.abs(g2 - g1)) / jnp.max(jnp.abs(g1)))
-    print(f"  v2-vs-v1 grad parity: {rel:.3e}  "
-          f"loss rel {float(jnp.max(jnp.abs(l2-l1))/jnp.max(l1)):.3e}",
-          flush=True)
+    for v in (2, 3):
+        l2, g2 = fused_kappa_mse_step_mxu(mesh, lk_test, Fs,
+                                          u_data[:8192],
+                                          block_lanes=1024, version=v)
+        rel = float(jnp.max(jnp.abs(g2 - g1)) / jnp.max(jnp.abs(g1)))
+        print(f"  v{v}-vs-v1 grad parity: {rel:.3e}  loss rel "
+              f"{float(jnp.max(jnp.abs(l2-l1))/jnp.max(l1)):.3e}",
+              flush=True)
 
     def step(version):
         def s(lk, F_, ud_):
@@ -65,7 +67,7 @@ def main():
         return s
 
     rows = []
-    for version in (1, 2):
+    for version in (1, 2, 3):
         dt = timeit_chained(step(version), jnp.zeros((B,), jnp.float32),
                             length=24, repeats=3, args=(Fs, u_data)).min_s
         rate = B / dt

@@ -300,3 +300,42 @@ class TestMxuBandwidthLevers:
         rel = float(np.max(np.abs(np.asarray(gk) - np.asarray(grad_f32)))
                     / np.max(np.abs(np.asarray(grad_f32))))
         assert rel < 2e-3, f"bf16 data-quantization error grew: {rel:.2e}"
+
+
+class TestMxuKernelVersions:
+    """All three MXU kernel bodies agree: v1 (explicit planes), v2
+    (folded RHS + collapsed κ-contraction), v3 (v2 + DEFAULT matmuls
+    with one tridiagonal residual-refinement pass — see
+    probe_mxu_binding.py for why)."""
+
+    def _setup(self, B=2048):
+        import jax
+        import jax.numpy as jnp
+        from difffe_tpu.mesh import FEMesh
+        from difffe_tpu.ops.assembly import assemble_load
+        from difffe_tpu.solver import solve_poisson_batched
+        mesh = FEMesh.line(n_elements=30, dtype=jnp.float32)
+        x = mesh.nodes[:, 0]
+        fv = jnp.sin(jnp.pi * x) + 1.0
+        F = assemble_load(mesh, fv)
+        k = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (B,),
+                                     jnp.float32) * 2.0
+        f = jnp.broadcast_to(fv, (B, mesh.n_nodes))
+        ud = solve_poisson_batched(mesh, k, f, method="tridiag",
+                                   kappa_batched=True)
+        return mesh, F, jnp.log(k) * 0.5, ud
+
+    @pytest.mark.parametrize("version", [2, 3])
+    def test_version_agrees_with_v1(self, version):
+        from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
+            fused_kappa_mse_step_mxu
+        mesh, F, lk, ud = self._setup()
+        l1, g1 = fused_kappa_mse_step_mxu(mesh, lk, F, ud,
+                                          block_lanes=1024, version=1)
+        l2, g2 = fused_kappa_mse_step_mxu(mesh, lk, F, ud,
+                                          block_lanes=1024,
+                                          version=version)
+        rel = float(jnp.max(jnp.abs(g2 - g1)) / jnp.max(jnp.abs(g1)))
+        assert rel < 1e-4, rel
+        lrel = float(jnp.max(jnp.abs(l2 - l1)) / jnp.max(l1))
+        assert lrel < 1e-4, lrel
