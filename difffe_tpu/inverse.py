@@ -256,7 +256,15 @@ def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
 
     B = f.shape[0]
     H, W = grid.node_shape
-    iters = 32 if iters is None else iters
+    if iters is None:
+        # Measured per-step warm-iteration policy: at 64² warm-32 is the
+        # accuracy-safe point (cold-32 is 45% worse; warm-16 costs ~6%
+        # loss — probe_2d_warm.py); at 256² the warm start carries MORE
+        # of the solution per SGD step and warm-4 matches warm-32's
+        # converged eval loss at 3× the rate (12.4k vs 4.1k grad-solves/s
+        # — probe_2d_mg256.py; the two-level coarse-grid correction was
+        # measured NEGATIVE there, its XLA overhead unrepaid).
+        iters = 32 if max(grid.nx, grid.ny) <= 128 else 4
     warm = True if warm is None else warm
     lr = 30.0 if lr is None else lr
     # per-scenario-mean cotangent scale → gradient magnitude independent

@@ -58,7 +58,8 @@ def _safe_div(num, den):
 def pcg(A: Callable, b: jax.Array, Minv: Callable, x0: jax.Array,
         tol: float, maxiter: int,
         dot: Optional[Callable] = None,
-        with_diagnostics: bool = False):
+        with_diagnostics: bool = False,
+        stagnation_floor: Optional[float] = None):
     """Preconditioned conjugate gradients for SPD ``A``.
 
     ``tol`` is relative to ‖b‖ (per dot-scope); ``tol=0`` runs exactly
@@ -83,8 +84,15 @@ def pcg(A: Callable, b: jax.Array, Minv: Callable, x0: jax.Array,
     # frozen: α = 0 (x, r stop moving) and β = 0 (p resets to z, staying
     # bounded).  Per dot-scope, so one batch member freezing never stalls
     # the others.  Regression: tests/test_review_regressions.py.
-    eps = jnp.finfo(jnp.asarray(b).dtype).eps
-    floor = (16.0 * eps) ** 2 * jnp.maximum(rz, 1e-30)
+    # ``stagnation_floor`` overrides the relative freeze threshold
+    # ((16ε)² default) — short-trip reduced-precision inner solves
+    # (ops/precision.py) pass 0.0 to opt out: their bf16 ε would freeze
+    # at ~1.6e-2 relative, inside the working range their f32 outer
+    # refinement relies on.
+    if stagnation_floor is None:
+        eps = jnp.finfo(jnp.asarray(b).dtype).eps
+        stagnation_floor = (16.0 * eps) ** 2
+    floor = stagnation_floor * jnp.maximum(rz, 1e-30)
 
     def cond(state):
         _, r, _, _, k = state

@@ -139,8 +139,13 @@ def _stencil_solve_bf16(grid, kappa_lu, f, g, inner_iters, refine_iters):
     def solve_lo(r):
         r_lo = r.astype(jnp.bfloat16)
         A = lambda v: m_lo * v + p_lo * stencil_apply(C_lo, p_lo * v)
+        # stagnation_floor=0: the default (16ε_bf16)² freeze would stop
+        # the inner CG at ~1.6e-2 relative — inside the working range the
+        # f32 outer refinement depends on (regression caught by
+        # TestStencilBf16)
         return pcg(A, r_lo, lambda s: Minv_lo * s,
-                   jnp.zeros_like(r_lo), 0.0, inner_iters, dot=_dot_f32acc)
+                   jnp.zeros_like(r_lo), 0.0, inner_iters,
+                   dot=_dot_f32acc, stagnation_floor=0.0)
 
     x0 = jnp.broadcast_to(m * g, b.shape)
     r0 = b - (m * x0 + p * stencil_apply(C, p * x0))
@@ -202,8 +207,13 @@ def _stencil_bwd(grid, inner_iters, refine_iters, res, gbar):
     def solve_lo(r):
         r_lo = r.astype(jnp.bfloat16)
         A = lambda v: m_lo * v + p_lo * stencil_apply(C_lo, p_lo * v)
+        # stagnation_floor=0: the default (16ε_bf16)² freeze would stop
+        # the inner CG at ~1.6e-2 relative — inside the working range the
+        # f32 outer refinement depends on (regression caught by
+        # TestStencilBf16)
         return pcg(A, r_lo, lambda s: Minv_lo * s,
-                   jnp.zeros_like(r_lo), 0.0, inner_iters, dot=_dot_f32acc)
+                   jnp.zeros_like(r_lo), 0.0, inner_iters,
+                   dot=_dot_f32acc, stagnation_floor=0.0)
 
     lam = solve_lo(gbar).astype(gbar.dtype)
     for _ in range(refine_iters):
