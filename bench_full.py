@@ -236,18 +236,19 @@ def main():
     dt3 = per_step_s(lambda k: k - 100.0 * g3fn(k), k3t, length=8)
     results["3d_grad_solves_per_s_16cube_B256"] = round(B3 / dt3, 1)
 
-    # Production 3D inversion mode (round 4): cold 16-iter fixed trips —
-    # eval-loss-equivalent to 100 iters on this workload (probe_3d_warm /
-    # probe_3d_control); at 16³ the XLA batch-minor step wins over the
-    # Pallas kernel (73.9k vs 62.6k measured).
+    # Production 3D inversion mode (round 4): cold 32-iter fixed trips —
+    # the κ-error-safe point on the identifiable control workload
+    # (probe_3d_control: 32 ≡ 100 at 4e-3 κ err; 16 is 31× worse at deep
+    # convergence).  At 16³ the XLA batch-minor step wins over the
+    # Pallas kernel (73.9k vs 62.6k measured at iters=16).
     from difffe_tpu.ops.stencil3d import kappa_mse_grad_step_3d
 
-    def step3_16(k):
-        _, gk = kappa_mse_grad_step_3d(g3, k, f3B, g30, u3, 16)
+    def step3_32(k):
+        _, gk = kappa_mse_grad_step_3d(g3, k, f3B, g30, u3, 32)
         return k - 100.0 * gk
 
-    dt3w = per_step_s(step3_16, k3t, length=16)
-    results["3d_grad_solves_per_s_16cube_B256_iters16"] = \
+    dt3w = per_step_s(step3_32, k3t, length=16)
+    results["3d_grad_solves_per_s_16cube_B256_iters32"] = \
         round(B3 / dt3w, 1)
 
     # 3D whole-CG Pallas kernel at 32³ (round 4, VERDICT item 2): the
@@ -271,11 +272,11 @@ def main():
 
     def step32(k):
         _, gk, _ = fused_kappa_mse_step_3d_pallas(
-            g32, k, f32B, g320, u32, iters=16, block_b=1, scale=sc32)
+            g32, k, f32B, g320, u32, iters=32, block_b=1, scale=sc32)
         return k - 100.0 * gk
 
     dt32 = per_step_s(step32, k32t, length=8)
-    results["3d_grad_solves_per_s_32cube_B128_pallas16"] = \
+    results["3d_grad_solves_per_s_32cube_B128_pallas32"] = \
         round(B32 / dt32, 1)
 
     # Batch-minor edge-ELL (round 4, VERDICT item 5): scenario batch on

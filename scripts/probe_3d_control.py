@@ -84,19 +84,25 @@ def main():
 
     kc_true = np.asarray(jnp.exp(upsample(theta_true)))
 
+    import optax
+    opt = optax.adam(lr)
+
     def run(iters):
         theta0 = jnp.zeros((B, nc, nc, nc), jnp.float32)
 
-        def body(theta, _):
+        def body(carry, _):
+            theta, st = carry
             k, vjp = jax.vjp(kappa_of, theta)
             loss, gk = kappa_mse_grad_step_3d(grid, k, fBM, g0, u_data,
                                               iters)
             (gt,) = vjp(gk)
-            return theta - lr * gt, loss
+            upd, st = opt.update(gt, st)
+            return (optax.apply_updates(theta, upd), st), loss
 
         @jax.jit
         def loop(theta):
-            theta, losses = jax.lax.scan(body, theta, None, length=steps)
+            (theta, _), losses = jax.lax.scan(
+                body, (theta, opt.init(theta)), None, length=steps)
             return theta, losses
 
         theta, losses = loop(theta0)
