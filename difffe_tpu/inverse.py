@@ -151,6 +151,12 @@ def fit_kappa(
     grid = getattr(mesh, "grid", None)
 
     if grid is None or mesh.dim not in (2, 3):
+        if B >= 128 and mesh.dim in (2, 3):
+            # measured boundary (probe_unstructured.py): the batch-minor
+            # edge-ELL CG wins once the scenario batch fills the lane
+            # axis — 2.0× the batch-leading path at B=256 / 4k DOF
+            return _fit_kappa_ell(mesh, f, u_data, steps, lr, kappa0,
+                                  iters, eval_final)
         kappa, hist = recover_kappa_field(mesh, f, u_data,
                                           adam_steps=steps,
                                           lr=lr if lr is not None else 0.05)
@@ -294,6 +300,57 @@ def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
     if eval_final:
         ev = _build_eval_2d(grid, max(4 * iters, 256))
         info["eval_loss"] = float(ev(kl, ku, fg, g0, ug))
+    return kappa, info
+
+
+def _fit_kappa_ell(mesh, f, u_data, steps, lr, kappa0, iters, eval_final):
+    """Generic-mesh inversion on the batch-minor edge-ELL path (B ≥ 128).
+
+    Adam on log κ (positivity), fixed-trip CG through the gather-only
+    operator — the measured fastest arbitrary-connectivity route
+    (docs/PERFORMANCE.md 'Unstructured meshes').  The jitted loop closes
+    over the mesh's gather tables, so repeat calls with a different mesh
+    recompile (the structured paths are the cached hot production)."""
+    import optax
+
+    from .ops.assembly import assemble_load
+    from .ops.unstructured import build_ell, solve_poisson_cg_ell_batched
+
+    B = f.shape[0]
+    iters = 128 if iters is None else iters
+    lr = 0.05 if lr is None else lr
+    ell = build_ell(mesh)
+    FB = assemble_load(mesh, f)
+    log_k0 = jnp.zeros((B, mesh.n_elements), mesh.dtype) \
+        if kappa0 is None else jnp.log(jnp.broadcast_to(
+            jnp.asarray(kappa0, mesh.dtype), (B, mesh.n_elements)))
+    opt = optax.adam(lr)
+
+    def loss_fn(lk):
+        u = solve_poisson_cg_ell_batched(mesh, ell, jnp.exp(lk), FB,
+                                         0.0, iters)
+        return jnp.mean((u - u_data) ** 2)
+
+    @jax.jit
+    def loop(lk):
+        def body(carry, _):
+            lk, st = carry
+            loss, g = jax.value_and_grad(loss_fn)(lk)
+            upd, st = opt.update(g, st)
+            return (optax.apply_updates(lk, upd), st), loss
+
+        (lk, _), losses = jax.lax.scan(body, (lk, opt.init(lk)), None,
+                                       length=steps)
+        return lk, losses
+
+    lk, losses = loop(log_k0)
+    kappa = jnp.exp(lk)
+    info = {"path": "generic_ell_batchminor", "iters": iters,
+            "warm": None, "loss_history": losses, "eval_loss": None}
+    if eval_final:
+        u = solve_poisson_cg_ell_batched(mesh, ell, kappa, FB, 0.0,
+                                         max(2 * iters, 256))
+        info["eval_loss"] = float(jnp.mean((u - u_data) ** 2))
     return kappa, info
 
 

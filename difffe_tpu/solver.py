@@ -327,6 +327,38 @@ def solve_poisson_batched(
             g.reshape(grid.node_shape), tol, maxiter)
         return u.reshape(B, mesh.n_nodes)
 
+    if (method == "stencil" and mesh.dim == 2 and f_batched
+            and not (g_batched or _nm_b or _rb_b)
+            and kw.get("neumann") is None and kw.get("robin") is None
+            and kw.get("cg_tol") == 0.0 and kw.get("cg_maxiter")
+            and kw["cg_maxiter"] <= 256):
+        # Fixed-trip batched rectangle solves ride the VMEM-resident
+        # whole-CG Pallas kernel (≈1.6× the XLA stencil path at 64² —
+        # docs/PERFORMANCE.md config-4 table) wherever it compiles;
+        # tol-gated solves stay on the XLA while_loop below.
+        from .ops.assembly import kappa_on_elements
+        from .ops.pallas.stencil_cg_kernel import (choose_2d_path,
+                                                   solve_structured_pallas)
+        grid = mesh.grid
+        if choose_2d_path(grid, block_b=8) == "fused":
+            from .ops.stencil import kappa_lu_from_elements
+            B = f.shape[0]
+            if k_batched:
+                keB = jnp.broadcast_to(kappa[:, None],
+                                       (B, mesh.n_elements)) \
+                    if kappa.ndim == 1 \
+                    else jax.vmap(
+                        lambda k: kappa_on_elements(mesh, k))(kappa)
+            else:
+                keB = jnp.broadcast_to(kappa_on_elements(mesh, kappa),
+                                       (B, mesh.n_elements))
+            klu = kappa_lu_from_elements(grid, keB)
+            g = mesh.bc_values if bc_values is None else bc_values
+            u = solve_structured_pallas(
+                grid, klu, f.reshape((B,) + grid.node_shape),
+                g.reshape(grid.node_shape), int(kw["cg_maxiter"]), 8)
+            return u.reshape(B, mesh.n_nodes)
+
     if method in ("tridiag", "tridiag_pallas") and mesh.dim == 1:
         # Fast path: assemble batched bands directly — no vmap, one fused
         # batched PCR over the whole scenario block.

@@ -237,3 +237,58 @@ class TestFitKappa:
         fB, k_true, u_data = self._workload(m, B, jax.random.PRNGKey(8))
         k, info = fit_kappa(m, fB, u_data, steps=300)
         assert info["eval_loss"] < 1e-2 * float(info["loss_history"][0])
+
+
+class TestBatchedFixedTripPallasRoute:
+    def test_2d_fixed_trip_matches_vmap_stencil(self):
+        m = FEMesh.rectangle(8, 8, dtype=jnp.float32)
+        B = 5
+        key = jax.random.PRNGKey(0)
+        kB = (1.0 + 0.5 * jax.random.uniform(
+            key, (B, m.n_elements))).astype(jnp.float32)
+        fB = jnp.broadcast_to(_f2(m), (B, m.n_nodes)).astype(jnp.float32)
+        # fixed-trip batched → Pallas whole-CG kernel branch
+        uB = solve_poisson_batched(m, kB, fB, cg_tol=0.0, cg_maxiter=120)
+        for b in (0, 4):
+            u1 = solve_poisson(m, kB[b], fB[b], cg_tol=0.0,
+                               cg_maxiter=120)
+            np.testing.assert_allclose(np.asarray(uB[b]), np.asarray(u1),
+                                       atol=1e-4)
+
+    def test_gradients_flow_through_pallas_route(self):
+        m = FEMesh.rectangle(6, 6, dtype=jnp.float32)
+        B = 3
+        kB = (1.0 + 0.1 * jnp.arange(B, dtype=jnp.float32))
+        fB = jnp.broadcast_to(_f2(m), (B, m.n_nodes)).astype(jnp.float32)
+
+        def loss(k):
+            u = solve_poisson_batched(m, k, fB, kappa_batched=True,
+                                      cg_tol=0.0, cg_maxiter=100)
+            return jnp.sum(u ** 2)
+
+        def loss_ref(k):
+            u = solve_poisson_batched(m, k, fB, kappa_batched=True,
+                                      method="dense")
+            return jnp.sum(u ** 2)
+
+        g = jax.grad(loss)(kB)
+        g_ref = jax.grad(loss_ref)(kB)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-3)
+
+
+class TestGenericEllRoute:
+    def test_fit_kappa_large_batch_takes_ell(self):
+        # with_dirichlet drops the grid → generic; B ≥ 128 → ELL
+        m = FEMesh.rectangle(4, 4, dtype=jnp.float32).with_dirichlet(
+            [6], [0.0])
+        B = 128
+        f = jnp.broadcast_to(
+            10 * jnp.prod(jnp.sin(jnp.pi * m.nodes), axis=1),
+            (B, m.n_nodes)).astype(jnp.float32)
+        kt = 1.2 + 0.6 * jax.random.uniform(jax.random.PRNGKey(0),
+                                            (B, m.n_elements), jnp.float32)
+        ud = solve_poisson_batched(m, kt, f, cg_tol=0.0, cg_maxiter=100)
+        k, info = fit_kappa(m, f, ud, steps=30)
+        assert info["path"] == "generic_ell_batchminor"
+        assert info["eval_loss"] < float(info["loss_history"][0])
