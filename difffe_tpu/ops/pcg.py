@@ -85,18 +85,31 @@ def pcg(A: Callable, b: jax.Array, Minv: Callable, x0: jax.Array,
     # bounded).  Per dot-scope, so one batch member freezing never stalls
     # the others.  Regression: tests/test_review_regressions.py.
     # ``stagnation_floor`` overrides the relative freeze threshold
-    # ((16ε)² default) — short-trip reduced-precision inner solves
+    # ((4ε)² default — ≈4.8e-7 relative M-residual in f32, below the
+    # 1e-6 tol-gated target but above the rounding-noise regime where
+    # the divergence lives).  Short-trip reduced-precision inner solves
     # (ops/precision.py) pass 0.0 to opt out: their bf16 ε would freeze
-    # at ~1.6e-2 relative, inside the working range their f32 outer
+    # at ~3e-2 relative, inside the working range their f32 outer
     # refinement relies on.
     if stagnation_floor is None:
         eps = jnp.finfo(jnp.asarray(b).dtype).eps
-        stagnation_floor = (16.0 * eps) ** 2
+        stagnation_floor = (4.0 * eps) ** 2
     floor = stagnation_floor * jnp.maximum(rz, 1e-30)
 
-    def cond(state):
-        _, r, _, _, k = state
-        return (k < maxiter) & jnp.any(dot(r, r) > tol2)
+    if tol > 0.0:
+        # tol-gated mode: also exit when every scenario is frozen at its
+        # stagnation floor — otherwise an unreachable tol spins the loop
+        # to maxiter doing nothing (caught by the pcg_iters bench row).
+        def cond(state):
+            _, r, _, rz_, k = state
+            return (k < maxiter) & jnp.any(dot(r, r) > tol2) \
+                & jnp.any(rz_ > floor)
+    else:
+        # fixed-trip mode runs EXACTLY maxiter iterations — the batched
+        # workload definition; frozen scenarios are numeric no-ops.
+        def cond(state):
+            _, r, _, _, k = state
+            return k < maxiter
 
     def body(state):
         x, r, p, rz, k = state
