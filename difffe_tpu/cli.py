@@ -181,7 +181,9 @@ def invert_cmd(args):
     from .mesh import FEMesh
     from .solver import solve_poisson_batched
 
-    n, B, steps = args.elements, args.batch, args.steps
+    n = args.elements if args.elements is not None \
+        else (64 if args.dim == 2 else 16)
+    B, steps = args.batch, args.steps
     if args.dim == 2:
         mesh = FEMesh.rectangle(nx=n, ny=n, dtype=jnp.float32)
     else:
@@ -282,7 +284,8 @@ def main(argv=None):
     pi_ = sub.add_parser("invert", help="κ-field inversion on the routed "
                                         "fast paths (fit_kappa)")
     pi_.add_argument("--dim", type=int, default=2, choices=[2, 3])
-    pi_.add_argument("--elements", type=int, default=64)
+    pi_.add_argument("--elements", type=int, default=None,
+                     help="per side (default: 64 for 2D, 16 for 3D)")
     pi_.add_argument("--batch", type=int, default=256)
     pi_.add_argument("--steps", type=int, default=100)
     pi_.add_argument("--lr", type=float, default=None)
