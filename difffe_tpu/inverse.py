@@ -263,14 +263,18 @@ def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
     B = f.shape[0]
     H, W = grid.node_shape
     if iters is None:
-        # Measured per-step warm-iteration policy: at 64² warm-32 is the
-        # accuracy-safe point (cold-32 is 45% worse; warm-16 costs ~6%
-        # loss — probe_2d_warm.py); at 256² the warm start carries MORE
-        # of the solution per SGD step and warm-4 matches warm-32's
-        # converged eval loss at 3× the rate (12.4k vs 4.1k grad-solves/s
-        # — probe_2d_mg256.py; the two-level coarse-grid correction was
-        # measured NEGATIVE there, its XLA overhead unrepaid).
-        iters = 32 if max(grid.nx, grid.ny) <= 128 else 4
+        # Measured per-step warm-iteration policy (converged-eval gated):
+        # 64² — warm-32 is the accuracy-safe point (cold-32 is 45% worse;
+        # warm-16 costs ~6% loss — probe_2d_warm.py); 128² — warm-8 beats
+        # warm-32 on BOTH rate and eval loss (30.4k vs 12.4k, 1.13e-2 vs
+        # 1.30e-2; warm-4 is better still — probe ladder 2026-08-21);
+        # ≥256² — warm-4 matches-or-beats warm-32 (12.4k at 256², 5.0k
+        # at 512² — probe_2d_mg256.py).  The trend: bigger grids carry
+        # proportionally more of the solution in the warm state per SGD
+        # step.  The two-level coarse-grid correction was measured
+        # NEGATIVE at 256² (XLA overhead unrepaid).
+        n_side = max(grid.nx, grid.ny)
+        iters = 32 if n_side <= 64 else (8 if n_side <= 128 else 4)
     warm = True if warm is None else warm
     lr = 30.0 if lr is None else lr
     # per-scenario-mean cotangent scale → gradient magnitude independent
