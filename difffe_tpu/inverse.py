@@ -275,6 +275,12 @@ def _fit_kappa_2d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
         # NEGATIVE at 256² (XLA overhead unrepaid).
         n_side = max(grid.nx, grid.ny)
         iters = 32 if n_side <= 64 else (8 if n_side <= 128 else 4)
+    if max(grid.nx, grid.ny) > 64 and block_b > 1:
+        # multi-scenario VMEM blocks are measured-good only through 64²;
+        # every ≥128² probe ran block_b=1 (larger blocks at 129×256
+        # planes fail the remote Mosaic compile despite fitting the
+        # 20 MB estimate — the budget was calibrated at block_b=1)
+        block_b = 1
     warm = True if warm is None else warm
     lr = 30.0 if lr is None else lr
     # per-scenario-mean cotangent scale → gradient magnitude independent
