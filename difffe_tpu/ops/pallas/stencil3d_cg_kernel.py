@@ -408,6 +408,12 @@ def fused_kappa_mse_step_3d_pallas(grid: StructuredGrid3, kappa,
         if scale is None:
             scale = 2.0 / (B * Dz * H * W)
         ka = jnp.asarray(kappa)
+        k_unbatched = ka.ndim == 1 or (ka.ndim == 4 and ka.shape[-1] == 6)
+        if k_unbatched:
+            # unbatched κ shared across a batched f: broadcast before
+            # chunking (the unchunked path broadcasts inside _prepare3);
+            # the κ cotangent reduces back to the unbatched shape below
+            ka = jnp.broadcast_to(ka, (B,) + ka.shape)
         ks = ka.reshape((nch, chunk) + ka.shape[1:])
         fs = f.reshape((nch, chunk) + f.shape[1:])
         uds = jnp.broadcast_to(
@@ -429,6 +435,8 @@ def fused_kappa_mse_step_3d_pallas(grid: StructuredGrid3, kappa,
             lp, gk, u, st = jax.lax.map(one, (ks, fs, uds, warm_state))
         lp = lp.reshape(B)
         gk = gk.reshape((B,) + gk.shape[2:])
+        if k_unbatched:
+            gk = gk.sum(axis=0)     # cotangent of the shared field
         u = u.reshape((B,) + grid.node_shape)
         if return_state:
             return lp, gk, u, st    # chunk-stacked opaque state
