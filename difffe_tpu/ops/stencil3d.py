@@ -681,11 +681,20 @@ def choose_3d_grad_step(grid: StructuredGrid3, batch: int) -> str:
     Returns 'xla_bm' (kappa_mse_grad_step_3d) or 'pallas'
     (ops.pallas.stencil3d_cg_kernel.fused_kappa_mse_step_3d_pallas).
     """
-    from .pallas.stencil3d_cg_kernel import fused_fits
+    from .pallas.stencil3d_cg_kernel import (_LARGE_PLANE_LANES,
+                                             _MAX_GRID_LARGE, _round_up,
+                                             fused_fits)
     n_nodes = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
     if n_nodes <= 10_000:
         return "xla_bm"
     if not fused_fits(grid.node_shape):
+        return "xla_bm"
+    HWp = _round_up((grid.ny + 1) * (grid.nx + 1), 128)
+    if (HWp >= _LARGE_PLANE_LANES and batch > _MAX_GRID_LARGE
+            and batch % _MAX_GRID_LARGE):
+        # large planes chunk the batch at 8 per launch; a non-divisible
+        # batch can't take the kernel (fused_kappa_mse_step_3d_pallas
+        # raises) — fall back rather than error from the default path
         return "xla_bm"
     return "pallas"
 
