@@ -35,6 +35,8 @@ __all__ = [
     "solve_poisson_structured_3d",
     "solve_poisson_structured_3d_batched",
     "choose_3d_path",
+    "choose_3d_grad_step",
+    "solve_poisson_cg_ell_batched",
 ]
 
 
@@ -64,8 +66,12 @@ def __getattr__(name):
     if name == "solve_poisson_cg_ell":
         from .ops.unstructured import solve_poisson_cg_ell
         return solve_poisson_cg_ell
+    if name == "solve_poisson_cg_ell_batched":
+        from .ops.unstructured import solve_poisson_cg_ell_batched
+        return solve_poisson_cg_ell_batched
     if name in ("StructuredGrid3", "solve_poisson_structured_3d",
-                "solve_poisson_structured_3d_batched", "choose_3d_path"):
+                "solve_poisson_structured_3d_batched", "choose_3d_path",
+                "choose_3d_grad_step"):
         from .ops import stencil3d
         return getattr(stencil3d, name)
     raise AttributeError(f"module 'difffe_tpu' has no attribute {name!r}")
