@@ -292,3 +292,28 @@ class TestGenericEllRoute:
         k, info = fit_kappa(m, f, ud, steps=30)
         assert info["path"] == "generic_ell_batchminor"
         assert info["eval_loss"] < float(info["loss_history"][0])
+
+
+class TestSecondOrderBatched3D:
+    def test_hessian_through_batchminor_route(self):
+        # B >= 128 forces the batch-minor custom_vjp; its adjoint rides
+        # the recursive _apply_inv_bm primitive, so grad-of-grad works
+        m = FEMesh.box(2, 2, 2)
+        B = 128
+        fB = jnp.broadcast_to(jnp.ones(m.n_nodes), (B, m.n_nodes))
+        u_data = solve_poisson_batched(
+            m, jnp.full((B,), 2.0), fB, kappa_batched=True)
+
+        def loss(log_k):
+            u = solve_poisson_batched(m, jnp.exp(log_k) * jnp.ones(B),
+                                      fB, kappa_batched=True)
+            return jnp.mean((u - u_data) ** 2)
+
+        h = float(jax.grad(jax.grad(loss))(0.3))
+        # reference Hessian via the dense path on one scenario
+        def loss1(log_k):
+            u = solve_poisson(m, jnp.exp(log_k), fB[0], method="dense")
+            return jnp.mean((u - u_data[0]) ** 2)
+
+        h_ref = float(jax.grad(jax.grad(loss1))(0.3))
+        np.testing.assert_allclose(h, h_ref, rtol=1e-4)
