@@ -189,6 +189,51 @@ def main():
         best = min(best, (_time.perf_counter() - t0) / 24)
     results[f"2d_grad_solves_per_s_{n}x{n}_warm32"] = round(Bp / best, 1)
 
+    # 128² production point (round-4 graded policy: warm-8, block_b=1 —
+    # multi-scenario blocks are measured-good only through 64²)
+    n8 = 128
+    grid8 = StructuredGrid.unit(n8, n8)
+    xs8 = jnp.linspace(0, 1, n8 + 1, dtype=jnp.float32)
+    X8, Y8 = jnp.meshgrid(xs8, xs8)
+    f8 = (2 * math.pi ** 2 * jnp.sin(math.pi * X8)
+          * jnp.sin(math.pi * Y8)).astype(jnp.float32)
+    B8 = 128
+    f8B = jnp.broadcast_to(f8, (B8, n8 + 1, n8 + 1))
+    g80 = jnp.zeros((n8 + 1, n8 + 1), jnp.float32)
+    k8t = 1.2 + 0.6 * jax.random.uniform(jax.random.PRNGKey(4),
+                                         (B8, n8, n8), jnp.float32)
+    u8 = jax.jit(lambda kk: fused_kappa_mse_step_2d(
+        grid8, (kk, kk), f8B, g80, jnp.zeros_like(f8B), iters=128,
+        block_b=1)[2])(k8t)
+    sc8 = 2.0 / ((n8 + 1) * (n8 + 1))
+    _, _, _, st8 = fused_kappa_mse_step_2d(
+        grid8, (k8t, k8t), f8B, g80, u8, scale=sc8, iters=8, block_b=1,
+        return_state=True)
+
+    def warm8_step(carry, _):
+        kl, st = carry
+        lp, (gl, gu), _, st = fused_kappa_mse_step_2d(
+            grid8, (kl, kl), f8B, g80, u8, scale=sc8, iters=8,
+            block_b=1, warm_state=st, return_state=True)
+        return (kl - 10.0 * (gl + gu), st), lp.sum()
+
+    @jax.jit
+    def warm8_loop(kl, st):
+        (kl, st), losses = jax.lax.scan(warm8_step, (kl, st), None,
+                                        length=24)
+        return kl, losses
+
+    k8w = jnp.ones_like(k8t)
+    out8 = warm8_loop(k8w, st8)
+    jax.block_until_ready(out8)
+    best8 = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        out8 = warm8_loop(k8w, st8)
+        jax.block_until_ready(out8)
+        best8 = min(best8, (_time.perf_counter() - t0) / 24)
+    results["2d_grad_solves_per_s_128x128_warm8"] = round(B8 / best8, 1)
+
     # Unstructured (arbitrary-connectivity) path at ~4k DOF: edge-ELL CG
     # (ops/unstructured.py), B=64, 128 fixed iters, fwd+adjoint.
     from difffe_tpu.ops.unstructured import build_ell, solve_poisson_cg_ell
