@@ -87,22 +87,27 @@ def main():
     import optax
     opt = optax.adam(lr)
 
-    def run(iters):
+    def run(iters, warm=False):
         theta0 = jnp.zeros((B, nc, nc, nc), jnp.float32)
 
         def body(carry, _):
-            theta, st = carry
+            theta, st, ws = carry
             k, vjp = jax.vjp(kappa_of, theta)
-            loss, gk = kappa_mse_grad_step_3d(grid, k, fBM, g0, u_data,
-                                              iters)
+            loss, gk, ws = kappa_mse_grad_step_3d(
+                grid, k, fBM, g0, u_data, iters,
+                warm_state=ws if warm else None, return_state=True)
             (gt,) = vjp(gk)
             upd, st = opt.update(gt, st)
-            return (optax.apply_updates(theta, upd), st), loss
+            return (optax.apply_updates(theta, upd), st, ws), loss
 
         @jax.jit
         def loop(theta):
-            (theta, _), losses = jax.lax.scan(
-                body, (theta, opt.init(theta)), None, length=steps)
+            k0 = kappa_of(theta)
+            _, _, ws0 = kappa_mse_grad_step_3d(grid, k0, fBM, g0,
+                                               u_data, iters,
+                                               return_state=True)
+            (theta, _, _), losses = jax.lax.scan(
+                body, (theta, opt.init(theta), ws0), None, length=steps)
             return theta, losses
 
         theta, losses = loop(theta0)
@@ -114,12 +119,18 @@ def main():
         tru = float(eval_loss(theta))
         kc = np.asarray(jnp.exp(upsample(theta)))
         kerr = float(np.max(np.abs(kc - kc_true)) / np.max(kc_true))
-        print(f"  iters={iters:4d}  {B*M/dt:10,.0f} grad-solves/s  "
+        print(f"  iters={iters:4d} warm={int(warm)}  "
+              f"{B*M/dt:10,.0f} grad-solves/s  "
               f"loop_loss={float(losses[-1]):.4e}  eval_loss={tru:.4e}  "
               f"kappa_rel_err={kerr:.3e}", flush=True)
 
-    for iters in (100, 32, 16, 8):
-        run(iters)
+    ladder = [(100, False), (32, False), (16, False), (16, True),
+              (8, True)]
+    if len(sys.argv) > 6:        # e.g. "100:0,32:0,16:1"
+        ladder = [(int(a), bool(int(b))) for a, b in
+                  (pair.split(":") for pair in sys.argv[6].split(","))]
+    for iters, warm in ladder:
+        run(iters, warm)
 
 
 if __name__ == "__main__":
