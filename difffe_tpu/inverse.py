@@ -113,13 +113,19 @@ def fit_kappa(
 
     * ``FEMesh.rectangle`` meshes → the whole-CG Pallas kernels
       (``choose_2d_path``: fused one-launch ≤256², two-launch at 512²,
-      XLA stencil beyond) with **warm-started 32-iteration steps** — the
-      state-threaded lever measured at 60.6k grad-solves/s at 64²
-      (scripts/probe_2d_warm.py; cold-32 is 45% worse at the same loss).
-    * ``FEMesh.box`` meshes → the batch-minor 7-point-stencil grad step
-      with **cold 16-iteration steps** (warm state costs ~20% at the 16³
-      sweet spot and wins nowhere measured — scripts/probe_3d_warm.py;
-      103.6k grad-solves/s at 16³).
+      XLA stencil beyond) with **warm-started steps graded by grid
+      size** — iters 32 (≤64²) / 8 (128²) / 4 (≥256²), the
+      state-threaded lever (scripts/probe_2d_warm.py, probe_2d_mg256.py;
+      cold-32 is 45% worse at 64² at the same loss).
+    * ``FEMesh.box`` meshes → the 7-point-stencil grad step (Pallas
+      whole-CG kernel or XLA batch-minor via ``choose_3d_grad_step``)
+      with **cold 32-iteration steps** — the κ-error-safe default from
+      the round-4 identifiable control (probe_3d_control.py: cold-16
+      caps κ error 31× worse; warm state loses ~20% in 3D —
+      scripts/probe_3d_warm.py).
+    * any other mesh with B ≥ 128 → the batch-minor edge-ELL CG route
+      (``generic_ell_batchminor``, Adam on log κ — measured 2.0× the
+      batch-leading path at B=256 / 4k DOF).
     * anything else → the generic Adam field recovery
       (:func:`recover_kappa_field`).
 
@@ -134,7 +140,8 @@ def fit_kappa(
         B=256 — the 3D loss averages over the batch, so rescale lr when
         B differs by orders of magnitude).
     iters, warm : override the measured per-step CG iteration count and
-        warm-start policy (defaults 2D: 32/True; 3D: 16/False).
+        warm-start policy (defaults 2D: graded 32/8/4 with warm=True;
+        3D: 32 with warm=False).
     eval_final : additionally run one CONVERGED solve at the final κ and
         report the honest eval loss (the in-loop loss uses the step's own
         possibly-unconverged u) — the 'periodic converged check' gate.

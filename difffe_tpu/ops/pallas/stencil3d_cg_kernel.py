@@ -107,18 +107,26 @@ def _cg3_kernel_tb(d0, d1, d2, d3, d4, d5, d6, b_ref, minv_ref, x0_ref,
     z = Minv * r
     p = z
     rz = dot(r, z)
+    # per-scenario (TB, 1) noise-floor stagnation freeze, same (4ε)²
+    # relative threshold as ops/pcg.py — fixed-trip CG far past
+    # convergence diverges, so frozen scenarios stop moving (α=β=0).
+    eps = jnp.finfo(b.dtype).eps
+    floor = (4.0 * eps) ** 2 * jnp.maximum(rz, 1e-30)
 
     def body(_, state):
         x, r, p, rz = state
+        live = rz > floor
         Ap = A(p)
         pAp = dot(p, Ap)
-        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0),
+        alpha = jnp.where(live & (pAp != 0),
+                          rz / jnp.where(pAp != 0, pAp, 1.0),
                           0.0)[:, :, None]
         x = x + alpha * p
         r = r - alpha * Ap
         z = Minv * r
         rz_new = dot(r, z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0),
+        beta = jnp.where(live & (rz_new > floor) & (rz != 0),
+                         rz_new / jnp.where(rz != 0, rz, 1.0),
                          0.0)[:, :, None]
         p = z + beta * p
         return x, r, p, rz_new
@@ -292,19 +300,23 @@ def _cg3_2_kernel_tb(d0, d1, d2, d3, d4, d5, d6, b_ref, minv_ref, x0_ref,
         z = Minv * r
         p = z
         rz = dot(r, z)
+        # per-scenario stagnation freeze — see _cg3_kernel_tb / ops/pcg.py
+        eps = jnp.finfo(b.dtype).eps
+        floor = (4.0 * eps) ** 2 * jnp.maximum(rz, 1e-30)
 
         def body(_, state):
             x, r, p, rz = state
+            live = rz > floor
             Ap = A(p)
             pAp = dot(p, Ap)
-            alpha = jnp.where(pAp != 0,
+            alpha = jnp.where(live & (pAp != 0),
                               rz / jnp.where(pAp != 0, pAp, 1.0),
                               0.0)[:, :, None]
             x = x + alpha * p
             r = r - alpha * Ap
             z = Minv * r
             rz_new = dot(r, z)
-            beta = jnp.where(rz != 0,
+            beta = jnp.where(live & (rz_new > floor) & (rz != 0),
                              rz_new / jnp.where(rz != 0, rz, 1.0),
                              0.0)[:, :, None]
             p = z + beta * p

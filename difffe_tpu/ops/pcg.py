@@ -80,10 +80,10 @@ def pcg(A: Callable, b: jax.Array, Minv: Callable, x0: jax.Array,
     # stagnation point can DIVERGE (β of noise compounds into p; measured:
     # a 300-iteration f32 batch solve at 8³ reached |u| ~ 9e4 — and jit
     # fusion changes which side of the cliff a run lands on).  Once rz
-    # falls below (16ε)²·rz₀ — the f32 stagnation floor — the scenario is
-    # frozen: α = 0 (x, r stop moving) and β = 0 (p resets to z, staying
-    # bounded).  Per dot-scope, so one batch member freezing never stalls
-    # the others.  Regression: tests/test_review_regressions.py.
+    # falls below (4ε)²·rz₀ the scenario is frozen: α = 0 (x, r stop
+    # moving) and β = 0 (p resets to z, staying bounded).  Per dot-scope,
+    # so one batch member freezing never stalls the others.
+    # Regression: tests/test_review_regressions.py.
     # ``stagnation_floor`` overrides the relative freeze threshold
     # ((4ε)² default — ≈4.8e-7 relative M-residual in f32, below the
     # 1e-6 tol-gated target but above the rounding-noise regime where

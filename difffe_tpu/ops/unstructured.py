@@ -287,6 +287,16 @@ def _ell_bm_prep(mesh, kappa, F):
                          f"got {F.shape}")
     B = F.shape[0]
     if kappa.ndim == 1 and kappa.shape[0] == B:
+        if B == mesh.n_elements or B == mesh.n_nodes:
+            # same collision rule as solve_poisson_batched: a 1-D κ of
+            # length B that also matches a field length is ambiguous —
+            # silently reading it as per-scenario scalars would misread a
+            # shared per-element field (ADVICE r4)
+            raise ValueError(
+                f"ambiguous 1-D kappa of length {B}: could be per-scenario "
+                f"scalars (B={B}) or a shared field "
+                f"(n_elements={mesh.n_elements}, n_nodes={mesh.n_nodes}) — "
+                f"pass kappa as (B, n_elements) explicitly")
         keB = jnp.broadcast_to(kappa[None, :], (mesh.n_elements, B))
     else:
         ke = jax.vmap(lambda k: kappa_on_elements(mesh, k))(kappa)

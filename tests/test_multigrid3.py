@@ -1,0 +1,218 @@
+"""3D geometric multigrid tests: transfer operators, mesh-independent
+iteration counts, solution/gradient parity with the plain stencil path,
+and the batch-minor MG grad step (VERDICT-r4 item 1)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.ops.multigrid3 import (
+    build_hierarchy_3d,
+    build_hierarchy_bm,
+    coarsen_kappa_3d,
+    kappa_mse_grad_step_3d_mg,
+    mg3_diagnostics,
+    pcg_mg_bm,
+    prolong_trilinear,
+    restrict_full_weighting_3d,
+    solve_poisson_structured_3d_mg,
+    v_cycle_bm,
+)
+from difffe_tpu.ops.stencil3d import (
+    StructuredGrid3,
+    kappa_mse_grad_step_3d,
+    solve_poisson_structured_3d,
+)
+
+
+def make_problem(n, key=0, variable=True):
+    grid = StructuredGrid3.unit(n, n, n)
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float64)
+    Z, Y, X = jnp.meshgrid(xs, xs, xs, indexing="ij")
+    f = (3 * math.pi ** 2 * jnp.sin(math.pi * X) * jnp.sin(math.pi * Y)
+         * jnp.sin(math.pi * Z))
+    if variable:
+        k = jax.random.PRNGKey(key)
+        kappa = 1.0 + jax.random.uniform(k, (grid.n_elements,),
+                                         jnp.float64)
+    else:
+        kappa = jnp.ones((grid.n_elements,), jnp.float64)
+    g = jnp.zeros(grid.node_shape, jnp.float64)
+    return grid, kappa, f, g
+
+
+class TestTransfers3D:
+    def test_restriction_shape_and_constant(self):
+        r = jnp.ones((9, 9, 9))
+        rc = restrict_full_weighting_3d(r)
+        assert rc.shape == (5, 5, 5)
+        np.testing.assert_allclose(np.asarray(rc[1:-1, 1:-1, 1:-1]), 1.0,
+                                   atol=1e-12)
+
+    def test_restriction_trailing_batch_axis(self):
+        """Batch-minor layout: trailing axes pass through untouched."""
+        r = jnp.arange(9 * 9 * 9 * 4, dtype=jnp.float64).reshape(9, 9, 9, 4)
+        rc = restrict_full_weighting_3d(r)
+        assert rc.shape == (5, 5, 5, 4)
+        for b in range(4):
+            np.testing.assert_allclose(
+                np.asarray(rc[..., b]),
+                np.asarray(restrict_full_weighting_3d(r[..., b])),
+                atol=1e-12)
+
+    def test_prolongation_exact_for_trilinear(self):
+        xs = jnp.linspace(0, 1, 5)
+        Zc, Yc, Xc = jnp.meshgrid(xs, xs, xs, indexing="ij")
+        c = 2.0 * Xc + 3.0 * Yc - 1.5 * Zc
+        fine = prolong_trilinear(c)
+        assert fine.shape == (9, 9, 9)
+        xf = jnp.linspace(0, 1, 9)
+        Zf, Yf, Xf = jnp.meshgrid(xf, xf, xf, indexing="ij")
+        np.testing.assert_allclose(
+            np.asarray(fine), np.asarray(2.0 * Xf + 3.0 * Yf - 1.5 * Zf),
+            atol=1e-12)
+
+    def test_prolongation_transpose_of_restriction(self):
+        """⟨P c, r⟩ = 8·⟨c, R r⟩ — full weighting is Pᵀ/8 in 3D (the
+        2^d scaling), the property that makes the V-cycle symmetric."""
+        key = jax.random.PRNGKey(3)
+        r = jax.random.normal(key, (9, 9, 9), jnp.float64)
+        c = jax.random.normal(jax.random.PRNGKey(4), (5, 5, 5),
+                              jnp.float64)
+        lhs = jnp.vdot(prolong_trilinear(c), r)
+        rhs = 8.0 * jnp.vdot(c, restrict_full_weighting_3d(r))
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+    def test_coarsen_kappa_constant(self):
+        k6 = jnp.full((4, 4, 4, 6), 2.5)
+        kc = coarsen_kappa_3d(k6)
+        assert kc.shape == (2, 2, 2, 6)
+        np.testing.assert_allclose(np.asarray(kc), 2.5, atol=1e-12)
+
+
+class TestMG3Solve:
+    def test_matches_plain_cg(self):
+        grid, kappa, f, g = make_problem(8)
+        u_ref = solve_poisson_structured_3d(grid, kappa, f, g, 1e-12, 2000)
+        u_mg = solve_poisson_structured_3d_mg(grid, kappa, f, g, 1e-12, 100)
+        np.testing.assert_allclose(np.asarray(u_mg), np.asarray(u_ref),
+                                   atol=1e-9)
+
+    def test_mesh_independent_iterations(self):
+        iters = []
+        for n in [8, 16]:
+            grid, kappa, f, g = make_problem(n, variable=False)
+            _, it, res = mg3_diagnostics(grid, kappa, f, g, tol=1e-10)
+            iters.append(int(it))
+            assert float(res) < 1e-8
+        assert max(iters) <= 25, f"MG3 iters {iters}"
+        assert iters[1] <= 2.0 * iters[0], f"iters grew: {iters}"
+
+    def test_variable_kappa_convergence(self):
+        grid, kappa, f, g = make_problem(16, variable=True)
+        _, it, res = mg3_diagnostics(grid, kappa, f, g, tol=1e-10)
+        assert int(it) <= 30
+        assert float(res) < 1e-8
+
+    def test_gradient_matches_plain(self):
+        grid, kappa, f, g = make_problem(4)
+
+        def loss_mg(k):
+            u = solve_poisson_structured_3d_mg(grid, k, f, g, 1e-12, 100)
+            return jnp.sum(u ** 2)
+
+        def loss_ref(k):
+            u = solve_poisson_structured_3d(grid, k, f, g, 1e-12, 2000)
+            return jnp.sum(u ** 2)
+
+        gm = np.asarray(jax.grad(loss_mg)(kappa))
+        gr = np.asarray(jax.grad(loss_ref)(kappa))
+        np.testing.assert_allclose(gm, gr, rtol=1e-6, atol=1e-9)
+
+
+class TestBatchMinorMG:
+    def test_vcycle_bm_matches_unbatched(self):
+        """The batch-minor V-cycle on (…, B) state equals the unbatched
+        V-cycle per scenario."""
+        from difffe_tpu.ops.multigrid3 import v_cycle_3d
+        from difffe_tpu.ops.stencil3d import kappa_to_cube
+
+        n, B = 8, 3
+        grid = StructuredGrid3.unit(n, n, n)
+        key = jax.random.PRNGKey(0)
+        kappa = 1.0 + jax.random.uniform(key, (B, grid.n_elements),
+                                         jnp.float64)
+        b = jax.random.normal(jax.random.PRNGKey(1),
+                              (B,) + grid.node_shape, jnp.float64)
+        k6bm = jnp.moveaxis(kappa_to_cube(grid, kappa), 0, -1)
+        levels_bm = build_hierarchy_bm(grid, k6bm)
+        out_bm = v_cycle_bm(levels_bm, jnp.moveaxis(b, 0, -1))
+        for i in range(B):
+            levels = build_hierarchy_3d(grid, kappa[i])
+            out1 = v_cycle_3d(levels, b[i])
+            np.testing.assert_allclose(np.asarray(out_bm[..., i]),
+                                       np.asarray(out1), atol=1e-10)
+
+    def test_mg_grad_step_matches_jacobi_converged(self):
+        """At convergence-level iteration counts the MG step and the
+        Jacobi step produce the same loss and κ gradient.
+
+        B=3 NOT 4: the (9,9,9,4)-f64 batch-minor while_loop corrupts the
+        heap on this environment's XLA CPU build (pre-existing, verified
+        at HEAD; B=3/B=5 and n=6/B=4 are fine)."""
+        n, B = 8, 3
+        grid = StructuredGrid3.unit(n, n, n)
+        key = jax.random.PRNGKey(5)
+        kappa = 1.0 + jax.random.uniform(key, (B, grid.n_elements),
+                                         jnp.float64)
+        f = jax.random.normal(jax.random.PRNGKey(6),
+                              (B,) + grid.node_shape, jnp.float64)
+        g = jnp.zeros(grid.node_shape, jnp.float64)
+        u_data = jax.random.normal(jax.random.PRNGKey(7),
+                                   (B,) + grid.node_shape, jnp.float64)
+        loss_j, gk_j = kappa_mse_grad_step_3d(grid, kappa, f, g, u_data,
+                                              iters=600)
+        loss_m, gk_m = kappa_mse_grad_step_3d_mg(grid, kappa, f, g,
+                                                 u_data, iters=30)
+        np.testing.assert_allclose(float(loss_m), float(loss_j),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(gk_m), np.asarray(gk_j),
+                                   rtol=1e-6, atol=1e-12)
+
+    def test_mg_grad_step_warm_state_roundtrip(self):
+        n, B = 8, 2
+        grid = StructuredGrid3.unit(n, n, n)
+        kappa = jnp.ones((B, grid.n_elements), jnp.float64)
+        f = jnp.ones((B,) + grid.node_shape, jnp.float64)
+        g = jnp.zeros(grid.node_shape, jnp.float64)
+        u_data = jnp.zeros((B,) + grid.node_shape, jnp.float64)
+        loss0, gk0, state = kappa_mse_grad_step_3d_mg(
+            grid, kappa, f, g, u_data, iters=10, return_state=True)
+        loss1, gk1 = kappa_mse_grad_step_3d_mg(
+            grid, kappa, f, g, u_data, iters=2, warm_state=state)
+        # warm restart from the converged state reproduces the loss
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-6)
+
+    def test_pcg_mg_bm_solves(self):
+        from difffe_tpu.ops.stencil3d import (_bm_prep, _bm_apply,
+                                              _bm_load, _bm_dot)
+
+        n, B = 8, 3
+        grid = StructuredGrid3.unit(n, n, n)
+        key = jax.random.PRNGKey(9)
+        kappa = 1.0 + jax.random.uniform(key, (B, grid.n_elements),
+                                         jnp.float64)
+        f = jax.random.normal(jax.random.PRNGKey(10),
+                              (B,) + grid.node_shape, jnp.float64)
+        g = jnp.zeros(grid.node_shape, jnp.float64)
+        C, m, fbm, gbm, k6bm = _bm_prep(grid, kappa, f, g, jnp.float64)
+        p = 1.0 - m
+        F = _bm_load(grid, fbm)
+        b = p * F
+        levels = build_hierarchy_bm(grid, k6bm)
+        x = pcg_mg_bm(levels, b, jnp.zeros_like(b), 1e-12, 50)
+        r = b - (m * x + p * _bm_apply(C, p * x))
+        assert float(jnp.max(jnp.abs(r))) < 1e-9
