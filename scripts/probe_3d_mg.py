@@ -1,0 +1,115 @@
+"""TPU probe: batch-minor 3D multigrid grad steps vs the fixed-trip
+Jacobi ladder (VERDICT-r4 item 1 — make 3D work past 32³).
+
+The fixed-trip ladder collapses at scale (48³: 885/s, 64³: 44-256/s)
+because Jacobi-PCG needs O(n) iterations; the V-cycle's iteration count
+is mesh-independent, so if its per-iteration cost (≈3-4 matvecs across
+the level ladder) is repaid by an ~8× iteration cut, large grids win.
+
+Measures, per grid size, chained 20-step SGD κ-inversion loops:
+  * XLA batch-minor Jacobi (kappa_mse_grad_step_3d) at iters=16/32
+    (the round-4 production points);
+  * batch-minor MG (kappa_mse_grad_step_3d_mg) at iters=2/4/8, cold and
+    warm — each with its final in-loop loss printed so rate claims carry
+    their accuracy class (VERDICT-r4 weak 1).
+A converged eval solve at each final κ reports eval-loss parity.
+
+Run:  python scripts/probe_3d_mg.py [sizes...]   (one TPU job at a time)
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def setup(n, B):
+    from difffe_tpu.ops.stencil3d import StructuredGrid3
+    grid = StructuredGrid3.unit(n, n, n)
+    zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+    pi = jnp.pi
+    f = (3 * pi ** 2 * jnp.sin(pi * xx) * jnp.sin(pi * yy)
+         * jnp.sin(pi * zz)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f, (B,) + grid.node_shape)
+    g0 = jnp.zeros(grid.node_shape, jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, grid.n_elements), jnp.float32)
+    return grid, fB, g0, k_true
+
+
+def main():
+    from difffe_tpu.ops.multigrid3 import kappa_mse_grad_step_3d_mg
+    from difffe_tpu.ops.stencil3d import (
+        kappa_mse_grad_step_3d, solve_poisson_structured_3d_batched)
+
+    cfgs = [(32, 128), (48, 32), (64, 16)]
+    if len(sys.argv) > 1:
+        cfgs = [c for c in cfgs if str(c[0]) in sys.argv[1:]]
+
+    for n, B in cfgs:
+        grid, fB, g0, k_true = setup(n, B)
+        print(f"--- box({n}^3) B={B}", flush=True)
+        try:
+            u_data = jax.jit(lambda kt: solve_poisson_structured_3d_batched(
+                grid, kt, fB, g0, 0.0, 4 * n))(k_true)
+            jax.block_until_ready(u_data)
+        except Exception as e:
+            print(f"  u_data FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+
+        lr = 100.0
+        evald = jax.jit(lambda k: jnp.mean(
+            (solve_poisson_structured_3d_batched(grid, k, fB, g0, 0.0,
+                                                 4 * n) - u_data) ** 2))
+
+        def run(step_fn, label, iters, warm, steps=20, **kw):
+            def body(carry, _):
+                k, state = carry
+                loss, gk, state = step_fn(
+                    grid, k, fB, g0, u_data, iters,
+                    warm_state=state if warm else None,
+                    return_state=True, **kw)
+                return (k - lr * gk, state), loss
+
+            @jax.jit
+            def loop(k):
+                _, g0k, st0 = step_fn(grid, k, fB, g0, u_data, iters,
+                                      return_state=True, **kw)
+                (k, _), losses = jax.lax.scan(body, (k - lr * g0k, st0),
+                                              None, length=steps)
+                return k, losses
+
+            k0 = jnp.ones((B, grid.n_elements), jnp.float32)
+            try:
+                t0 = time.perf_counter()
+                k, losses = loop(k0)
+                jax.block_until_ready(losses)
+                compile_s = time.perf_counter() - t0
+            except Exception as e:
+                print(f"  {label} iters={iters} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:180]}", flush=True)
+                return None
+            t0 = time.perf_counter()
+            k, losses = loop(k0)
+            jax.block_until_ready(losses)
+            dt = (time.perf_counter() - t0) / steps
+            ev = float(evald(k))
+            print(f"  {label} iters={iters:3d} warm={int(warm)}: "
+                  f"{B/dt:10,.0f} grad-solves/s ({dt*1e3:.1f} ms/step, "
+                  f"compile {compile_s:.0f}s, loss {float(losses[-1]):.3e},"
+                  f" eval {ev:.3e})", flush=True)
+            return B / dt
+
+        run(kappa_mse_grad_step_3d, "XLA Jacobi", 16, warm=False)
+        run(kappa_mse_grad_step_3d, "XLA Jacobi", 32, warm=False)
+        run(kappa_mse_grad_step_3d, "XLA Jacobi", 16, warm=True)
+        for it in (2, 4, 8):
+            run(kappa_mse_grad_step_3d_mg, "MG V-cycle", it, warm=False)
+        run(kappa_mse_grad_step_3d_mg, "MG V-cycle", 4, warm=True)
+
+
+if __name__ == "__main__":
+    main()

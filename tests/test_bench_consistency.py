@@ -1,12 +1,20 @@
-"""Evidence-drift guard (VERDICT-r3 item 4): the headline number in
-README.md and docs/PERFORMANCE.md must match BENCH_local.json.
+"""Evidence-drift guard (VERDICT-r3 item 4, widened per VERDICT-r4
+item 3): every throughput claim in README.md / docs/PERFORMANCE.md that
+cites its BENCH_local.json key must match the file of record.
 
-Rounds 2 and 3 both ended with the primary evidence file describing a
-stale kernel (566M on file while the driver recorded 840M).  This test
-makes that structurally impossible: any doc headline more than the
-tunnel-session tolerance away from the measured BENCH_local.json value
-fails the suite, so bench_full.py must be re-run (and the docs updated)
-whenever the headline moves.
+Rounds 2-4 all ended with docs quoting best-ever-session numbers their
+own evidence file contradicted.  The convention that makes this
+structurally impossible: a doc claim written as
+
+    **50.2 k** (`2d_grad_solves_per_s_64x64_warm32`)
+
+— a number, an optional k/M unit, then the BENCH_local key in backticks
+inside the adjacent parentheses — is AUTO-GUARDED: this test scans both
+docs for that pattern, resolves each key against BENCH_local.json, and
+fails the suite when the quoted value drifts beyond the tunnel-session
+tolerance (or the key doesn't exist).  Un-cited numbers are folklore;
+cited numbers are enforced.  ≥6 distinct guarded keys are required so
+the guard can't silently shrink back to one number.
 """
 
 import json
@@ -19,40 +27,75 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: remote-tunnel session-to-session variance allowance; catches the
 #: 566-vs-840 (1.48×) class of drift while tolerating ~±25% noise.
 TOLERANCE = 0.35
+DOCS = ["README.md", "docs/PERFORMANCE.md"]
+#: NUMBER (incl. scientific notation), optional k/M unit, optional bold
+#: close, then (`bench_key`)
+CLAIM_RE = re.compile(
+    r"([\d.]+(?:e[+-]?\d+)?)\s*([kM]?)\*{0,2}\s*\(`([a-zA-Z0-9_.\-]+)`\)")
+_SCALE = {"": 1.0, "k": 1e3, "M": 1e6}
+#: minimum distinct guarded keys across the two docs (VERDICT-r4 item 3)
+MIN_GUARDED_KEYS = 6
 
 
-def _bench_headline():
+def _bench():
     path = os.path.join(ROOT, "BENCH_local.json")
     if not os.path.exists(path):
         pytest.skip("no BENCH_local.json")
-    data = json.load(open(path))
-    if "headline_grad_solves_per_s" not in data:
-        pytest.skip("BENCH_local.json predates the headline alias key")
-    return float(data["headline_grad_solves_per_s"])
+    return json.load(open(path))
 
 
-def _doc_headline_millions(path, pattern):
-    text = open(os.path.join(ROOT, path)).read()
-    m = re.search(pattern, text)
-    assert m, f"no headline number found in {path} (pattern {pattern!r})"
-    return float(m.group(1)) * 1e6
+def _claims():
+    out = []
+    for doc in DOCS:
+        path = os.path.join(ROOT, doc)
+        if not os.path.exists(path):
+            continue
+        for m in CLAIM_RE.finditer(open(path).read()):
+            value = float(m.group(1)) * _SCALE[m.group(2)]
+            out.append((doc, m.group(0), value, m.group(3)))
+    return out
 
 
-class TestHeadlineConsistency:
-    def test_readme_matches_bench(self):
-        bench = _bench_headline()
-        readme = _doc_headline_millions(
-            "README.md", r"\*\*([\d.]+)\s*M\*\*[^.]*solves/s")
-        assert abs(readme - bench) <= TOLERANCE * bench, (
-            f"README headline {readme/1e6:.1f}M vs BENCH_local "
-            f"{bench/1e6:.1f}M — rerun bench_full.py and update README")
+class TestClaimGuard:
+    def test_every_cited_claim_matches_bench(self):
+        bench = _bench()
+        claims = _claims()
+        assert claims, "no cited claims found — the markup convention " \
+                       "(`NUMBER unit (\\`bench_key\\`)`) left the docs"
+        errors = []
+        for doc, text, value, key in claims:
+            if key not in bench:
+                errors.append(f"{doc}: {text!r} cites key {key!r} which "
+                              f"is not in BENCH_local.json")
+                continue
+            measured = float(bench[key])
+            if measured == 0:
+                continue
+            # error-class keys (exactness, recovery, residuals) are
+            # quoted as orders of magnitude — guard to 4× instead
+            tol = 3.0 if measured < 1e-3 else TOLERANCE
+            if abs(value - measured) > tol * abs(measured):
+                errors.append(
+                    f"{doc}: claim {text!r} = {value:g} vs BENCH_local "
+                    f"[{key}] = {measured:g} (> {tol:.0%} off) — rerun "
+                    f"bench_full.py and update the doc")
+        assert not errors, "\n".join(errors)
 
-    def test_performance_md_matches_bench(self):
-        bench = _bench_headline()
-        perf = _doc_headline_millions(
-            "docs/PERFORMANCE.md",
-            r"bench\.py[^|]*\|[^|]*\|\s*\*\*([\d.]+)\s*M\*\*")
-        assert abs(perf - bench) <= TOLERANCE * bench, (
-            f"PERFORMANCE.md headline {perf/1e6:.1f}M vs BENCH_local "
-            f"{bench/1e6:.1f}M — rerun bench_full.py and update the "
-            f"headline table")
+    def test_enough_keys_are_guarded(self):
+        keys = {key for _, _, _, key in _claims()}
+        assert len(keys) >= MIN_GUARDED_KEYS, (
+            f"only {len(keys)} distinct BENCH_local keys are cited in "
+            f"{DOCS} ({sorted(keys)}); the guard requires "
+            f">={MIN_GUARDED_KEYS} so doc claims stay tied to evidence")
+
+    def test_headline_is_guarded(self):
+        """The flagship number specifically must remain cited in BOTH
+        docs (the round-2/3 failure mode)."""
+        per_doc = {}
+        for doc, _, value, key in _claims():
+            if key == "headline_grad_solves_per_s":
+                per_doc.setdefault(doc, value)
+        missing = [d for d in DOCS if d not in per_doc]
+        assert not missing, (
+            f"headline_grad_solves_per_s is not cited in {missing} — "
+            f"quote the headline with its key")
