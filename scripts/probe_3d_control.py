@@ -87,13 +87,16 @@ def main():
     import optax
     opt = optax.adam(lr)
 
-    def run(iters, warm=False):
+    def run(iters, warm=False, mg=False):
+        from difffe_tpu.ops.multigrid3 import kappa_mse_grad_step_3d_mg
+        step_fn = kappa_mse_grad_step_3d_mg if mg \
+            else kappa_mse_grad_step_3d
         theta0 = jnp.zeros((B, nc, nc, nc), jnp.float32)
 
         def body(carry, _):
             theta, st, ws = carry
             k, vjp = jax.vjp(kappa_of, theta)
-            loss, gk, ws = kappa_mse_grad_step_3d(
+            loss, gk, ws = step_fn(
                 grid, k, fBM, g0, u_data, iters,
                 warm_state=ws if warm else None, return_state=True)
             (gt,) = vjp(gk)
@@ -103,9 +106,8 @@ def main():
         @jax.jit
         def loop(theta):
             k0 = kappa_of(theta)
-            _, _, ws0 = kappa_mse_grad_step_3d(grid, k0, fBM, g0,
-                                               u_data, iters,
-                                               return_state=True)
+            _, _, ws0 = step_fn(grid, k0, fBM, g0, u_data, iters,
+                                return_state=True)
             (theta, _, _), losses = jax.lax.scan(
                 body, (theta, opt.init(theta), ws0), None, length=steps)
             return theta, losses
@@ -124,13 +126,16 @@ def main():
               f"loop_loss={float(losses[-1]):.4e}  eval_loss={tru:.4e}  "
               f"kappa_rel_err={kerr:.3e}", flush=True)
 
-    ladder = [(100, False), (32, False), (16, False), (16, True),
-              (8, True)]
-    if len(sys.argv) > 6:        # e.g. "100:0,32:0,16:1"
-        ladder = [(int(a), bool(int(b))) for a, b in
-                  (pair.split(":") for pair in sys.argv[6].split(","))]
-    for iters, warm in ladder:
-        run(iters, warm)
+    ladder = [(100, False, False), (32, False, False), (16, False, False),
+              (16, True, False), (8, True, False)]
+    if len(sys.argv) > 6:        # e.g. "100:0,32:0,16:1,mg2:0"
+        def parse(pair):
+            a, b = pair.split(":")
+            mg = a.startswith("mg")
+            return (int(a[2:] if mg else a), bool(int(b)), mg)
+        ladder = [parse(p) for p in sys.argv[6].split(",")]
+    for iters, warm, mg in ladder:
+        run(iters, warm, mg)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,122 @@
+"""Fused general per-element-κ Thomas grad-step kernel
+(ops/pallas/fused_grad_thomas_kernel.py): loss + per-element gradient
+parity against the unfused XLA path (VERDICT-r4 item 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import assemble_load
+from difffe_tpu.ops.pallas.fused_grad_thomas_kernel import \
+    fused_kappa_mse_step_general
+from difffe_tpu.solver import solve_poisson_batched
+
+
+def _reference(mesh, f, u_data):
+    def loss(ke):
+        u = solve_poisson_batched(mesh, ke, f, method="tridiag")
+        return jnp.mean((u - u_data) ** 2)
+    return loss
+
+
+class TestFusedThomasGeneralKappa:
+    @pytest.mark.parametrize("n,B", [(30, 16), (13, 7), (100, 4)])
+    def test_loss_and_grad_match_xla(self, n, B):
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+        x = mesh.nodes[:, 0]
+        key = jax.random.PRNGKey(0)
+        ke_true = 1.0 + jax.random.uniform(key, (B, n), jnp.float32)
+        f = jnp.broadcast_to(jnp.sin(jnp.pi * x) + 1.0, (B, mesh.n_nodes))
+        u_data = solve_poisson_batched(mesh, ke_true, f, method="tridiag")
+        ke = 1.0 + 0.3 * jax.random.uniform(jax.random.PRNGKey(1), (B, n),
+                                            jnp.float32)
+
+        loss_ref, grad_ref = jax.value_and_grad(
+            _reference(mesh, f, u_data))(ke)
+
+        F = assemble_load(mesh, f)
+        lp, gk = fused_kappa_mse_step_general(mesh, ke, F, u_data,
+                                              block_lanes=128)
+        loss_fused = lp.sum() / (B * mesh.n_nodes)
+        np.testing.assert_allclose(float(loss_fused), float(loss_ref),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(grad_ref),
+                                   rtol=1e-3, atol=1e-7)
+
+    def test_nonzero_dirichlet(self):
+        n, B = 24, 5
+        mesh = FEMesh.line(n_elements=n, bc_left=0.7, bc_right=-0.4,
+                           dtype=jnp.float32)
+        key = jax.random.PRNGKey(3)
+        ke = 1.0 + jax.random.uniform(key, (B, n), jnp.float32)
+        f = jax.random.normal(jax.random.PRNGKey(4), (B, mesh.n_nodes),
+                              jnp.float32)
+        u_data = jax.random.normal(jax.random.PRNGKey(5),
+                                   (B, mesh.n_nodes), jnp.float32)
+
+        loss_ref, grad_ref = jax.value_and_grad(
+            _reference(mesh, f, u_data))(ke)
+        F = assemble_load(mesh, f)
+        lp, gk = fused_kappa_mse_step_general(mesh, ke, F, u_data,
+                                              block_lanes=128)
+        np.testing.assert_allclose(float(lp.sum() / (B * mesh.n_nodes)),
+                                   float(loss_ref), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(grad_ref),
+                                   rtol=1e-3, atol=1e-7)
+
+    def test_bf16_operand_storage_stays_close(self):
+        """bf16-streamed F/u_data: gradients track f32 to bf16 accuracy
+        class (the solve itself stays f32)."""
+        n, B = 30, 8
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+        key = jax.random.PRNGKey(6)
+        ke = 1.0 + jax.random.uniform(key, (B, n), jnp.float32)
+        f = jax.random.normal(jax.random.PRNGKey(7), (B, mesh.n_nodes),
+                              jnp.float32)
+        u_data = jax.random.normal(jax.random.PRNGKey(8),
+                                   (B, mesh.n_nodes), jnp.float32)
+        F = assemble_load(mesh, f)
+        lp32, gk32 = fused_kappa_mse_step_general(mesh, ke, F, u_data,
+                                                  block_lanes=128)
+        lp16, gk16 = fused_kappa_mse_step_general(
+            mesh, ke, F, u_data, block_lanes=128,
+            operand_dtype=jnp.bfloat16)
+        rel = float(jnp.max(jnp.abs(gk16 - gk32))
+                    / jnp.max(jnp.abs(gk32)))
+        assert rel < 3e-2, rel
+
+    def test_scalar_kappa_consistency_with_pcr_kernel(self):
+        """A constant per-element field equals the scalar-κ PCR kernel's
+        answer (chain rule: ∂logκ = κ·Σ_e ∂κ_e)."""
+        from difffe_tpu.ops.pallas.fused_grad_kernel import \
+            fused_kappa_mse_step
+        n, B = 30, 8
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+        key = jax.random.PRNGKey(9)
+        log_k = 0.2 * jax.random.normal(key, (B,), jnp.float32)
+        f = jnp.ones((B, mesh.n_nodes), jnp.float32)
+        u_data = jax.random.normal(jax.random.PRNGKey(10),
+                                   (B, mesh.n_nodes), jnp.float32)
+        F = assemble_load(mesh, f)
+        lp_s, gk_s = fused_kappa_mse_step(mesh, log_k, F, u_data,
+                                          block_lanes=128)
+        ke = jnp.broadcast_to(jnp.exp(log_k)[:, None], (B, n))
+        lp_g, gk_g = fused_kappa_mse_step_general(mesh, ke, F, u_data,
+                                                  block_lanes=128)
+        np.testing.assert_allclose(np.asarray(lp_g), np.asarray(lp_s),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(log_k) * gk_g.sum(axis=1)),
+            np.asarray(gk_s), rtol=1e-3, atol=1e-7)
+
+    def test_nonuniform_mesh_raises(self):
+        mesh = FEMesh.line(n_elements=8, dtype=jnp.float32)
+        import dataclasses
+        nodes = mesh.nodes.at[3, 0].add(0.02)
+        bad = dataclasses.replace(mesh, nodes=nodes)
+        with pytest.raises(ValueError, match="uniform"):
+            fused_kappa_mse_step_general(
+                bad, jnp.ones((2, 8), jnp.float32),
+                jnp.ones(9, jnp.float32), jnp.ones((2, 9), jnp.float32))
