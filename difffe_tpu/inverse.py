@@ -438,7 +438,14 @@ def _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
     # shallow runs (the 103.6k/s shallow-regime rate).
     iters = 32 if iters is None else iters
     warm = False if warm is None else warm        # measured: warm loses 3D
-    lr = 100.0 if lr is None else lr
+    if lr is None:
+        # The 3D loss is a mean over the batch AND nodes, so the κ
+        # gradient magnitude scales as 1/B; the tuned point was lr=100 at
+        # B=256 (probe_3d_warm/probe_3d_control).  Folding the measured
+        # B-dependence into the default keeps the EFFECTIVE step
+        # B-invariant — a B=8 user no longer gets ~32× the intended step
+        # (VERDICT-r4 item 7; regression: tests/test_inverse.py).
+        lr = 100.0 * (B / 256.0)
     fg = f.reshape((B,) + grid.node_shape)
     ug = u_data.reshape((B,) + grid.node_shape)
     g0 = mesh.bc_values.reshape(grid.node_shape)

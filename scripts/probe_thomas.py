@@ -1,0 +1,104 @@
+"""TPU probe: fused Thomas general-κ grad-step kernel vs the PCR kernel
+(VERDICT-r4 item 5 — give the general per-element-κ path the headline
+treatment).
+
+Ladder: block_lanes × operand dtype for the Thomas kernel (per-element
+κ — the workload the PCR kernel cannot even express), the scalar-κ PCR
+kernel as the round-2 baseline, and a 1e-4 gradient-parity gate vs the
+unfused XLA tridiag path on the SAME per-element workload.
+
+Run:  python scripts/probe_thomas.py    (one TPU job at a time)
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.pallas.fused_grad_kernel import \
+        fused_kappa_mse_step
+    from difffe_tpu.ops.pallas.fused_grad_thomas_kernel import \
+        fused_kappa_mse_step_general
+    from difffe_tpu.solver import solve_poisson_batched
+    from difffe_tpu.utils.profiling import timeit_chained
+
+    n = 30
+    mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+    x = mesh.nodes[:, 0]
+    fv = (jnp.sin(jnp.pi * x) + 1.0).astype(jnp.float32)
+    Fs = assemble_load(mesh, fv)
+
+    # -------- parity gate (small B, per-element κ, vs unfused XLA) -----
+    Bp = 4096
+    key = jax.random.PRNGKey(0)
+    ke_true = 1.0 + jax.random.uniform(key, (Bp, n), jnp.float32)
+    fB = jnp.broadcast_to(fv, (Bp, mesh.n_nodes))
+    u_data_p = solve_poisson_batched(mesh, ke_true, fB, method="tridiag")
+    ke0 = 1.0 + 0.3 * jax.random.uniform(jax.random.PRNGKey(1), (Bp, n),
+                                         jnp.float32)
+
+    def ref_loss(ke):
+        u = solve_poisson_batched(mesh, ke, fB, method="tridiag")
+        return jnp.mean((u - u_data_p) ** 2)
+
+    _, gref = jax.value_and_grad(ref_loss)(ke0)
+    for od, tag in ((None, "f32"), (jnp.bfloat16, "bf16")):
+        _, gk = fused_kappa_mse_step_general(mesh, ke0, Fs, u_data_p,
+                                             block_lanes=512,
+                                             operand_dtype=od)
+        rel = float(jnp.max(jnp.abs(gk - gref)) / jnp.max(jnp.abs(gref)))
+        print(f"parity (grad rel-err vs XLA, {tag} operands): {rel:.2e} "
+              f"gate<1e-4: {'PASS' if rel < 1e-4 else 'FAIL'}",
+              flush=True)
+
+    # -------- throughput ladder ---------------------------------------
+    B = 2 * 1024 * 1024
+    ud = jnp.broadcast_to(
+        solve_poisson_batched(mesh, jnp.full((1,), 2.0, jnp.float32),
+                              fv[None], kappa_batched=True)[0],
+        (B, mesh.n_nodes))
+
+    def run_thomas(block_lanes, od, tag):
+        ke_init = jnp.ones((B, n), jnp.float32)
+
+        def step(ke):
+            lp, gk = fused_kappa_mse_step_general(
+                mesh, ke, Fs, ud, block_lanes=block_lanes,
+                operand_dtype=od)
+            return ke - 30.0 * gk
+
+        try:
+            r = timeit_chained(step, ke_init, length=12, repeats=3)
+        except Exception as e:
+            print(f"  thomas {tag} bl={block_lanes}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+            return
+        print(f"  thomas {tag} bl={block_lanes}: "
+              f"{B/r.min_s/1e6:8.1f} M grad-solves/s", flush=True)
+
+    def run_pcr(block_lanes):
+        lk0 = jnp.zeros((B,), jnp.float32)
+
+        def step(lk):
+            lp, gk = fused_kappa_mse_step(mesh, lk, Fs, ud,
+                                          block_lanes=block_lanes)
+            return lk - 0.3 * gk
+
+        r = timeit_chained(step, lk0, length=12, repeats=3)
+        print(f"  PCR scalar-κ bl={block_lanes}: "
+              f"{B/r.min_s/1e6:8.1f} M grad-solves/s", flush=True)
+
+    print(f"--- n={n} B={B}", flush=True)
+    run_pcr(512)
+    for bl in (512, 1024, 2048):
+        run_thomas(bl, None, "f32")
+    run_thomas(1024, jnp.bfloat16, "bf16")
+    run_thomas(2048, jnp.bfloat16, "bf16")
+
+
+if __name__ == "__main__":
+    main()

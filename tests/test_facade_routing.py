@@ -223,6 +223,29 @@ class TestFitKappa:
         assert info["iters"] == 32 and info["warm"] is False
         assert info["eval_loss"] < float(info["loss_history"][0])
 
+    def test_3d_default_lr_scales_with_batch(self):
+        """The 3D loss means over the batch, so the κ-gradient magnitude
+        is ∝1/B; the default lr folds that in (lr = 100·B/256,
+        VERDICT-r4 item 7).  Replicating the SAME scenarios 8× must then
+        reproduce the B=4 trajectory exactly — under the old fixed
+        lr=100 default, the B=4 run took 8× the step and diverged from
+        it."""
+        m = FEMesh.box(4, 4, 4, dtype=jnp.float32)
+        B = 4
+        fB, k_true, u_data = self._workload(m, B, jax.random.PRNGKey(11))
+        k4, info4 = fit_kappa(m, fB, u_data, steps=60)
+        rep = (8, 1)
+        k32, info32 = fit_kappa(m, jnp.tile(fB, rep),
+                                jnp.tile(u_data, rep), steps=60)
+        # strict descent with the default lr at both batch sizes
+        assert info4["eval_loss"] < float(info4["loss_history"][0])
+        assert info32["eval_loss"] < float(info32["loss_history"][0])
+        # B-invariant effective step → identical per-scenario trajectory
+        np.testing.assert_allclose(np.asarray(k32[:B]), np.asarray(k4),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(info32["eval_loss"],
+                                   info4["eval_loss"], rtol=1e-3)
+
     def test_generic_mesh_falls_back(self):
         m = FEMesh.rectangle(4, 4).with_dirichlet([6], [0.0])
         fB, k_true, u_data = self._workload(m, 2, jax.random.PRNGKey(7))
