@@ -87,14 +87,20 @@ def _mask_is_factory(mesh: FEMesh) -> bool:
         mask = np.asarray(mesh.bc_mask) > 0.5
     except jax.errors.TracerArrayConversionError:
         return True
+    # build the factory boundary mask in pure numpy: under jit tracing
+    # every jnp op stages to a tracer even on concrete inputs, and this
+    # check must stay host-side
     grid = mesh.grid
-    if mesh.dim == 2:
-        from .ops.stencil import boundary_mask_grid
-        factory = np.asarray(boundary_mask_grid(grid, mesh.dtype)) > 0.5
-    else:
-        from .ops.stencil3d import boundary_mask_box
-        factory = np.asarray(boundary_mask_box(grid, mesh.dtype)) > 0.5
-    return bool((mask.reshape(factory.shape) == factory).all())
+    shape = grid.node_shape
+    factory = np.zeros(shape, bool)
+    for ax in range(len(shape)):
+        sl_lo = [slice(None)] * len(shape)
+        sl_lo[ax] = 0
+        sl_hi = [slice(None)] * len(shape)
+        sl_hi[ax] = -1
+        factory[tuple(sl_lo)] = True
+        factory[tuple(sl_hi)] = True
+    return bool((mask.reshape(shape) == factory).all())
 
 
 def _solve_stencil(mesh: FEMesh, kappa, f: jax.Array,

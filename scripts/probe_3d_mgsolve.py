@@ -1,0 +1,69 @@
+"""TPU probe: tol-gated single 3D solves — MG-PCG vs Jacobi-PCG
+(the forward-solve product story for large boxes; VERDICT-r4 item 1).
+
+Fixed-trip SGD grad steps are one regime; the other product surface is
+``solve_poisson(auto)`` on a big box at a real tolerance, where
+Jacobi-PCG needs O(n) iterations and MG should hold ~10-15 regardless
+of n.  Measures iterations-to-tol and wall rate for both, sizes 32/48/64.
+
+Run:  python scripts/probe_3d_mgsolve.py [sizes...]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from difffe_tpu.ops.multigrid3 import (mg3_diagnostics,
+                                           solve_poisson_structured_3d_mg)
+    from difffe_tpu.ops.stencil3d import (StructuredGrid3,
+                                          solve_poisson_structured_3d)
+
+    sizes = [int(a) for a in sys.argv[1:]] or [32, 48, 64]
+    for n in sizes:
+        grid = StructuredGrid3.unit(n, n, n)
+        zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+        zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+        f = (3 * jnp.pi ** 2 * jnp.sin(jnp.pi * xx)
+             * jnp.sin(jnp.pi * yy) * jnp.sin(jnp.pi * zz)).astype(
+                 jnp.float32)
+        g0 = jnp.zeros(grid.node_shape, jnp.float32)
+        kappa = (1.2 + 0.6 * jax.random.uniform(
+            jax.random.PRNGKey(1), (grid.n_elements,))).astype(jnp.float32)
+        tol = 1e-6
+        print(f"--- box({n}^3), tol {tol:g} f32", flush=True)
+
+        _, it, res = mg3_diagnostics(grid, kappa, f, g0, tol=tol,
+                                     maxiter=60)
+        print(f"  MG-PCG iterations: {int(it)} (residual "
+              f"{float(res):.2e})", flush=True)
+
+        def timed(fn, label, reps=20):
+            u = fn()
+            jax.block_until_ready(u)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                u = fn()
+                jax.block_until_ready(u)
+            dt = (time.perf_counter() - t0) / reps
+            print(f"  {label}: {1.0/dt:8.1f} solves/s ({dt*1e3:.1f} ms)",
+                  flush=True)
+            return u
+
+        mg_it = max(int(it) + 2, 10)
+        u_mg = timed(jax.jit(lambda: solve_poisson_structured_3d_mg(
+            grid, kappa, f, g0, 0.0, mg_it)),
+            f"MG-PCG fixed {mg_it} iters")
+        u_j = timed(jax.jit(lambda: solve_poisson_structured_3d(
+            grid, kappa, f, g0, 0.0, 6 * n)),
+            f"Jacobi-PCG fixed {6*n} iters")
+        gap = float(jnp.max(jnp.abs(u_mg - u_j))
+                    / jnp.max(jnp.abs(u_j)))
+        print(f"  MG-vs-Jacobi solution gap: {gap:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

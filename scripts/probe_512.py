@@ -1,0 +1,187 @@
+"""TPU probe: the 512² decision record (VERDICT-r4 item 8).
+
+The two-launch Pallas kernel at 512² is capped at ≤8 scenarios/launch by
+the remote compile helper, so launch overhead amortizes over B=8 only
+(5.0k grad-solves/s warm-4).  This probe measures what else could clear
+the ≥10⁴ bar at 512²:
+
+  * the XLA stencil path with WARM-started batched CG (no compile cap,
+    any B) at matched warm-4 policy — HBM-resident but amortized;
+  * the same with bf16 CG state (HBM-bound regime → ~2× candidate);
+  * the two-launch kernel at B=8 (production baseline).
+
+Run:  python scripts/probe_512.py [n] [B]   (one TPU job at a time)
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from difffe_tpu.ops.pcg import batched_dot, pcg
+    from difffe_tpu.ops.stencil import (StructuredGrid,
+                                        boundary_mask_grid, load_grid,
+                                        residual_vjp_manual,
+                                        stencil_apply,
+                                        stencil_coefficients)
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    iters = 4
+    grid = StructuredGrid.unit(n, n)
+    H, W = grid.node_shape
+    xs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, xs)
+    f = (2 * jnp.pi ** 2 * jnp.sin(jnp.pi * X)
+         * jnp.sin(jnp.pi * Y)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f, (B, H, W))
+    g0 = jnp.zeros((H, W), jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, grid.ny, grid.nx), jnp.float32)
+    lr = 100.0
+    scale = 2.0 / (H * W)
+    print(f"--- {n}^2 B={B} warm-{iters} SGD grad steps", flush=True)
+
+    m = boundary_mask_grid(grid, jnp.float32)
+    p = 1.0 - m
+
+    def xla_step_factory(state_dtype):
+        """One warm-started XLA grad step; CG state in state_dtype
+        (planes/state cast; α/β from f32-accumulated dots)."""
+
+        def step(carry, _):
+            kl, x0, l0 = carry
+            C = stencil_coefficients(grid, kl, kl)
+            D = jnp.stack([m + p * C[:, 0] * p]
+                          + [p * C[:, k] * _shift(p, k) for k in
+                             range(1, 5)], axis=1)    # (B, 5, H, W)
+            b = p * (load_grid(grid, fB) - 0.0)
+            diagA = D[:, 0]
+            Minv = 1.0 / jnp.where(jnp.abs(diagA) > 1e-30, diagA, 1.0)
+
+            def A(v):
+                out = D[:, 0] * v
+                for k in range(1, 5):
+                    out = out + D[:, k] * _shift_arr(v, k)
+                return out
+
+            def dot(u_, v_):
+                return jnp.sum((u_ * v_).astype(jnp.float32),
+                               axis=(-2, -1), keepdims=True).astype(
+                                   u_.dtype)
+
+            sd = state_dtype
+            # bf16 ε would put the stagnation floor at ~1e-3 relative —
+            # inside the working range; opt out like ops/precision.py
+            sfloor = 0.0 if sd == jnp.bfloat16 else None
+            u = pcg(lambda v: A(v.astype(jnp.float32)).astype(sd),
+                    b.astype(sd), lambda r: (Minv * r.astype(
+                        jnp.float32)).astype(sd),
+                    x0.astype(sd), 0.0, iters, dot=dot,
+                    stagnation_floor=sfloor).astype(jnp.float32)
+            diff = u - ud
+            gbar = scale * diff
+            lam = pcg(lambda v: A(v.astype(jnp.float32)).astype(sd),
+                      gbar.astype(sd), lambda r: (Minv * r.astype(
+                          jnp.float32)).astype(sd),
+                      l0.astype(sd), 0.0, iters, dot=dot,
+                      stagnation_floor=sfloor).astype(jnp.float32)
+            (gl, gu), _, _ = residual_vjp_manual(grid, (kl, kl), fB, g0,
+                                                 u, lam, C=C)
+            loss = jnp.sum(diff * diff) / B
+            return (kl - lr * 0.5 * (gl + gu), u, lam), loss
+
+        return step
+
+    from difffe_tpu.ops.stencil import OFFSETS, _shift2d
+
+    def _shift(pm, k):
+        dr, dc = OFFSETS[k]
+        return _shift2d(pm, dr, dc)
+
+    def _shift_arr(v, k):
+        dr, dc = OFFSETS[k]
+        return _shift2d(v, dr, dc)
+
+    # u_data from the production two-launch kernel (cheap enough)
+    from difffe_tpu.ops.pallas.stencil_cg_kernel import (
+        kappa_mse_step_2d_two_launch, solve_structured_pallas)
+    ud = jax.jit(lambda kt: solve_structured_pallas(
+        grid, (kt, kt), fB[:8], g0, 256, 1))(k_true[:8])
+    ud = jnp.broadcast_to(ud[:1], (B, H, W))
+    jax.block_until_ready(ud)
+
+    def run_xla(sd, tag, steps=12):
+        step = xla_step_factory(sd)
+
+        @jax.jit
+        def loop(kl):
+            x0 = jnp.broadcast_to(m * g0, (B, H, W))
+            l0 = jnp.zeros((B, H, W), jnp.float32)
+            (kl, _, _), losses = jax.lax.scan(step, (kl, x0, l0), None,
+                                              length=steps)
+            return kl, losses
+
+        k0 = jnp.ones((B, grid.ny, grid.nx), jnp.float32)
+        try:
+            t0 = time.perf_counter()
+            _, losses = loop(k0)
+            jax.block_until_ready(losses)
+            compile_s = time.perf_counter() - t0
+        except Exception as e:
+            print(f"  XLA {tag}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            return
+        t0 = time.perf_counter()
+        _, losses = loop(k0)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / steps
+        print(f"  XLA stencil warm-{iters} {tag}: "
+              f"{B/dt:10,.0f} grad-solves/s ({dt*1e3:.1f} ms/step, "
+              f"compile {compile_s:.0f}s, "
+              f"loss {float(losses[-1]):.3e})", flush=True)
+
+    def run_kernel(steps=12):
+        Bk = 8
+
+        def body(carry, _):
+            kl, st = carry
+            lp, (gl, gu), _, st = kappa_mse_step_2d_two_launch(
+                grid, (kl, kl), fB[:Bk], g0, ud[:Bk], iters=iters,
+                block_b=1, scale=scale, warm_state=st,
+                return_state=True)
+            return (kl - lr * 0.5 * (gl + gu), st), lp.sum()
+
+        @jax.jit
+        def loop(kl):
+            lp0, (gl0, gu0), _, st0 = kappa_mse_step_2d_two_launch(
+                grid, (kl, kl), fB[:Bk], g0, ud[:Bk], iters=iters,
+                block_b=1, scale=scale, return_state=True)
+            (kl, _), losses = jax.lax.scan(
+                body, (kl - lr * 0.5 * (gl0 + gu0), st0), None,
+                length=steps)
+            return kl, losses
+
+        k0 = jnp.ones((Bk, grid.ny, grid.nx), jnp.float32)
+        t0 = time.perf_counter()
+        _, losses = loop(k0)
+        jax.block_until_ready(losses)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, losses = loop(k0)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / steps
+        print(f"  two-launch kernel B={Bk}: "
+              f"{Bk/dt:10,.0f} grad-solves/s ({dt*1e3:.1f} ms/step, "
+              f"compile {compile_s:.0f}s)", flush=True)
+
+    run_kernel()
+    run_xla(jnp.float32, "f32")
+    run_xla(jnp.bfloat16, "bf16-state")
+
+
+if __name__ == "__main__":
+    main()
