@@ -156,6 +156,13 @@ def fit_kappa(
         f, u_data = f[None], u_data[None]
     B = f.shape[0]
     grid = getattr(mesh, "grid", None)
+    if grid is not None:
+        # the structured inversion loops assume the factory full-boundary
+        # Dirichlet mask; a replaced mask (partial Dirichlet, interior
+        # pins) keeps grid metadata but must take the generic routes
+        from .solver import _mask_is_factory
+        if not _mask_is_factory(mesh):
+            grid = None
 
     if grid is None or mesh.dim not in (2, 3):
         if B >= 128 and mesh.dim in (2, 3):

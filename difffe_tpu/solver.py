@@ -380,6 +380,7 @@ def solve_poisson_batched(
     if (method == "stencil" and mesh.dim == 3 and f_batched
             and not (g_batched or _nm_b or _rb_b)
             and kw.get("neumann") is None and kw.get("robin") is None
+            and _mask_is_factory(mesh)
             and f.shape[0] >= 128):
         # Batch-minor layout: keep the scenario batch on the tiled lane
         # axis through the whole CG (ops/stencil3d.py module note) — the
@@ -407,6 +408,7 @@ def solve_poisson_batched(
     if (method == "stencil" and mesh.dim == 2 and f_batched
             and not (g_batched or _nm_b or _rb_b)
             and kw.get("neumann") is None and kw.get("robin") is None
+            and _mask_is_factory(mesh)
             and kw.get("cg_tol") == 0.0 and kw.get("cg_maxiter")
             and kw["cg_maxiter"] <= 256):
         # Fixed-trip batched rectangle solves ride the VMEM-resident

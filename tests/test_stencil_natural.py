@@ -201,6 +201,36 @@ class TestGeneralDirichletMask:
                                    atol=1e-9)
         assert abs(float(u_st[pin]) - 0.7) < 1e-12
 
+    def test_batched_fixed_trip_respects_custom_mask(self):
+        """The batched fixed-trip Pallas route folds the FACTORY mask, so
+        a custom-mask mesh (grid kept) must not take it — regression for
+        the silent-wrong-answer hazard."""
+        full = FEMesh.rectangle(nx=8, ny=8, dtype=jnp.float32)
+        pin = full.n_nodes // 2
+        mesh = dataclasses.replace(
+            full, bc_mask=full.bc_mask.at[pin].set(1.0),
+            bc_values=full.bc_values.at[pin].set(0.3))
+        B = 4
+        fB = jnp.ones((B, mesh.n_nodes), jnp.float32)
+        uB = solve_poisson_batched(mesh, 1.0, fB, cg_tol=0.0,
+                                   cg_maxiter=200)
+        u1 = solve_poisson(mesh, 1.0, fB[0], method="dense")
+        np.testing.assert_allclose(np.asarray(uB[0]), np.asarray(u1),
+                                   atol=1e-4)
+        assert abs(float(uB[0, pin]) - 0.3) < 1e-6
+
+    def test_fit_kappa_custom_mask_takes_generic_route(self):
+        from difffe_tpu.inverse import fit_kappa
+        full = FEMesh.rectangle(nx=4, ny=4, dtype=jnp.float32)
+        pin = full.n_nodes // 2
+        mesh = dataclasses.replace(
+            full, bc_mask=full.bc_mask.at[pin].set(1.0))
+        B = 2
+        fB = jnp.ones((B, mesh.n_nodes), jnp.float32)
+        uB = solve_poisson_batched(mesh, 1.0, fB)
+        _, info = fit_kappa(mesh, fB, uB, steps=5)
+        assert info["path"] == "generic_adam"
+
     def test_factory_mask_unchanged_path_still_exact(self):
         """The factory-mask mesh still takes the specialized solver (no
         behavior change)."""
