@@ -438,6 +438,58 @@ def solve_poisson_batched(
                 g.reshape(grid.node_shape), int(kw["cg_maxiter"]), 8)
             return u.reshape(B, mesh.n_nodes)
 
+    if (method == "stencil" and mesh.dim == 2 and f_batched
+            and not g_batched
+            and (_nm is not None or _rb is not None
+                 or not _mask_is_factory(mesh))
+            and kw.get("cg_tol") == 0.0 and kw.get("cg_maxiter")
+            and kw["cg_maxiter"] <= 256):
+        # Batched fixed-trip NATURAL-BC / custom-mask rectangle solves
+        # keep kernel-class throughput: fold Neumann loads, axis-adjacent
+        # Robin terms, and the general Dirichlet mask into the whole-CG
+        # Pallas kernel's planes (VERDICT-r4 item 4).  Falls through to
+        # the vmapped XLA natural path when the Robin pattern doesn't
+        # fold or the kernel doesn't fit this grid.
+        from .ops.pallas.stencil_cg_kernel import choose_2d_path
+        from .ops.stencil_natural import (fold_robin_planes,
+                                          robin_is_axis_adjacent,
+                                          solve_structured_pallas_natural)
+        grid = mesh.grid
+        foldable = True
+        C_r = rload = None
+        if _rb is not None:
+            try:
+                if not robin_is_axis_adjacent(grid, _rb.rows, _rb.cols):
+                    raise ValueError("not axis-adjacent")
+                C_r, rload = fold_robin_planes(grid, _rb.rows, _rb.cols,
+                                               _rb.vals, _rb.load)
+            except ValueError:
+                foldable = False
+        if foldable and choose_2d_path(grid, block_b=8) == "fused":
+            from .ops.assembly import kappa_on_elements
+            from .ops.stencil import kappa_lu_from_elements
+            B = f.shape[0]
+            if k_batched:
+                keB = jnp.broadcast_to(kappa[:, None],
+                                       (B, mesh.n_elements)) \
+                    if kappa.ndim == 1 \
+                    else jax.vmap(
+                        lambda k: kappa_on_elements(mesh, k))(kappa)
+            else:
+                keB = jnp.broadcast_to(kappa_on_elements(mesh, kappa),
+                                       (B, mesh.n_elements))
+            klu = kappa_lu_from_elements(grid, keB)
+            H, W = grid.node_shape
+            g = (mesh.bc_values if bc_values is None
+                 else bc_values).reshape(H, W)
+            mk = mesh.bc_mask.reshape(H, W).astype(f.dtype)
+            qn = None if _nm is None else jnp.asarray(
+                _nm, f.dtype).reshape(jnp.shape(_nm)[:-1] + (H, W))
+            u = solve_structured_pallas_natural(
+                grid, klu, f.reshape((B, H, W)), g, mk, qn, C_r, rload,
+                int(kw["cg_maxiter"]), 8)
+            return u.reshape(B, mesh.n_nodes)
+
     if method in ("tridiag", "tridiag_pallas") and mesh.dim == 1:
         # Fast path: assemble batched bands directly — no vmap, one fused
         # batched PCR over the whole scenario block.

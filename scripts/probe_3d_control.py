@@ -103,21 +103,37 @@ def main():
             upd, st = opt.update(gt, st)
             return (optax.apply_updates(theta, upd), st, ws), loss
 
+        # chunk device executions to ≤100 steps: the remote tunnel kills
+        # single executions past ~90 s (UNAVAILABLE), and 400-step scans
+        # at iters=100 exceed that
+        chunk = min(steps, 100)
+        n_chunks = (steps + chunk - 1) // chunk
+
         @jax.jit
-        def loop(theta):
+        def init(theta):
             k0 = kappa_of(theta)
             _, _, ws0 = step_fn(grid, k0, fBM, g0, u_data, iters,
                                 return_state=True)
-            (theta, _, _), losses = jax.lax.scan(
-                body, (theta, opt.init(theta), ws0), None, length=steps)
-            return theta, losses
+            return (theta, opt.init(theta), ws0)
 
-        theta, losses = loop(theta0)
-        jax.block_until_ready(losses)
+        @jax.jit
+        def loop(carry):
+            carry, losses = jax.lax.scan(body, carry, None, length=chunk)
+            return carry, losses
+
+        def run_all(theta):
+            carry = init(theta)
+            losses = None
+            for _ in range(n_chunks):
+                carry, losses = loop(carry)
+                jax.block_until_ready(losses)
+            return carry[0], losses
+
+        theta, losses = run_all(theta0)
         t0 = time.perf_counter()
-        theta, losses = loop(theta0)
+        theta, losses = run_all(theta0)
         jax.block_until_ready(losses)
-        dt = (time.perf_counter() - t0) / steps
+        dt = (time.perf_counter() - t0) / (chunk * n_chunks)
         tru = float(eval_loss(theta))
         kc = np.asarray(jnp.exp(upsample(theta)))
         kerr = float(np.max(np.abs(kc - kc_true)) / np.max(kc_true))
