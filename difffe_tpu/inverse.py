@@ -119,10 +119,11 @@ def fit_kappa(
       cold-32 is 45% worse at 64² at the same loss).
     * ``FEMesh.box`` meshes → the 7-point-stencil grad step (Pallas
       whole-CG kernel or XLA batch-minor via ``choose_3d_grad_step``)
-      with **cold 32-iteration steps** — the κ-error-safe default from
-      the round-4 identifiable control (probe_3d_control.py: cold-16
-      caps κ error 31× worse; warm state loses ~20% in 3D —
-      scripts/probe_3d_warm.py).
+      with **cold steps graded by grid size** — iters 32 (≤16³) / 100
+      (≥32³), the κ-error-safe defaults from the identifiable controls
+      (probe_3d_control.py: at 16³ cold-32 ≡ cold-100; at 32³ cold-32
+      caps κ error 18× worse — iteration requirements grow with the
+      grid; warm state loses ~20% in 3D — scripts/probe_3d_warm.py).
     * any other mesh with B ≥ 128 → the batch-minor edge-ELL CG route
       (``generic_ell_batchminor``, Adam on log κ — measured 2.0× the
       batch-leading path at B=256 / 4k DOF).
@@ -141,7 +142,7 @@ def fit_kappa(
         B differs by orders of magnitude).
     iters, warm : override the measured per-step CG iteration count and
         warm-start policy (defaults 2D: graded 32/8/4 with warm=True;
-        3D: 32 with warm=False).
+        3D: graded 32/100 with warm=False).
     eval_final : additionally run one CONVERGED solve at the final κ and
         report the honest eval loss (the in-loop loss uses the step's own
         possibly-unconverged u) — the 'periodic converged check' gate.
@@ -435,15 +436,18 @@ def _build_eval_3d(grid, maxiter):
 def _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
                   eval_final):
     B = f.shape[0]
-    # Round-4 sharp control (probe_3d_control.py — identifiable
-    # multi-forcing workload, Adam to deep convergence, κ-error gated):
-    # cold-32 matches cold-100 (κ err 4.03e-3 vs 4.00e-3) but cold-16 is
-    # 31× worse (1.25e-1) once the optimizer actually converges — the
-    # round-3 "cold-16 ≡ cold-100" finding held only on its
-    # underdetermined workload's shallow-loss regime.  Production
-    # default is therefore 32; pass iters=16 explicitly for loss-gated
-    # shallow runs (the 103.6k/s shallow-regime rate).
-    iters = 32 if iters is None else iters
+    # κ-error-safe iteration policy, GRADED BY GRID SIZE — two measured
+    # control points (probe_3d_control.py, identifiable multi-forcing
+    # workload, Adam to deep convergence, κ-error gated):
+    # * 16³ (round 4): cold-32 ≡ cold-100 (κ err 4.03e-3 vs 4.00e-3),
+    #   cold-16 31× worse — default 32;
+    # * 32³ (round 5): cold-32 caps κ err at 1.53e-1 vs cold-100's
+    #   8.4e-3 (18×); cold-16 diverges; warm-100 and MG V-cycle steps
+    #   don't rescue it — default 100.
+    # Iteration requirements grow with the grid (CG's O(n) growth); pass
+    # iters=16/32 explicitly for loss-gated shallow runs only.
+    if iters is None:
+        iters = 32 if max(grid.nx, grid.ny, grid.nz) <= 16 else 100
     warm = False if warm is None else warm        # measured: warm loses 3D
     if lr is None:
         # The 3D loss is a mean over the batch AND nodes, so the κ
