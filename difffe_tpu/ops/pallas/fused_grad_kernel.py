@@ -215,3 +215,189 @@ def fused_kappa_mse_step(mesh, log_k: jax.Array, F: jax.Array,
     lp, gk = _fused_pallas(lk, FT, udT, cols, steps, float(scale),
                            block_lanes)
     return lp[0, :B], gk[0, :B]
+
+
+# ---------------------------------------------------------------------------
+# PER-ELEMENT-κ variant: in-kernel band assembly from κ planes + the same
+# plane-parallel PCR sweeps (VERDICT-r4 item 5).
+#
+# The PCR reduction was always row-general — only the assembly above
+# specializes to per-scenario scalars.  Assembling (a, b, c, r) from a
+# (N, L) per-element-κ plane costs ~10 extra plane ops on top of the
+# sweeps' ~170, so the general-κ step runs at ~PCR speed — measured
+# FASTER than every row-sequential Thomas schedule tried (Thomas does
+# ~25× less element work but its ~190-op dependency chain can't fill
+# the VPU; see fused_grad_thomas_kernel.py and the PERFORMANCE.md
+# ladder).
+# ---------------------------------------------------------------------------
+
+_GCOL_M = 0     # BC mask (1 on Dirichlet AND padded rows)
+_GCOL_P = 1     # 1 − bc_mask on true rows, 0 on padded
+_GCOL_MG = 2    # m ⊙ g
+_GCOL_F = 3     # shared load F (shared-F mode)
+
+
+def _general_step_kernel(ke_ref, f_ref, ud_ref, cols_ref,
+                         loss_ref, grad_ref, *, steps: int, inv_h: float,
+                         scale: float, shared_f: bool):
+    cols = cols_ref[:]
+    m = cols[:, _GCOL_M:_GCOL_M + 1]
+    p = cols[:, _GCOL_P:_GCOL_P + 1]
+    mg = cols[:, _GCOL_MG:_GCOL_MG + 1]
+
+    dtype = ke_ref.dtype
+    ke = ke_ref[:]                                # (N, L) per-element κ
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+
+    # band assembly: element row i couples nodes (i, i+1), BC-eliminated
+    ke_prev = _shift_kernel_up_rows(ke, 1, zero)
+    p_next = _shift_kernel_down_rows(p, 1, zero)
+    b = m + p * (ke_prev + ke) * inv_h
+    e = -ke * (inv_h) * p * p_next                # edge i: rows i↔i+1
+    a = _shift_kernel_up_rows(e, 1, zero)         # row i ← i−1
+    c = e                                         # row i ← i+1
+    mg_next = _shift_kernel_down_rows(mg, 1, zero)
+    mg_prev = _shift_kernel_up_rows(mg, 1, zero)
+    Kmg = ((ke_prev + ke) * mg - ke * mg_next - ke_prev * mg_prev) * inv_h
+    f_in = (cols[:, _GCOL_F:_GCOL_F + 1] if shared_f
+            else f_ref[:].astype(dtype))
+    r = mg + p * (f_in - Kmg)
+
+    alphas, gammas = [], []
+    s = 1
+    for _ in range(steps):
+        b_up = _shift_kernel_up_rows(b, s, one)
+        b_dn = _shift_kernel_down_rows(b, s, one)
+        alpha = -a / b_up
+        gamma = -c / b_dn
+        a_up = _shift_kernel_up_rows(a, s, zero)
+        c_dn = _shift_kernel_down_rows(c, s, zero)
+        c_up = _shift_kernel_up_rows(c, s, zero)
+        a_dn = _shift_kernel_down_rows(a, s, zero)
+        r_up = _shift_kernel_up_rows(r, s, zero)
+        r_dn = _shift_kernel_down_rows(r, s, zero)
+        b = b + alpha * c_up + gamma * a_dn
+        r = r + alpha * r_up + gamma * r_dn
+        a = alpha * a_up
+        c = gamma * c_dn
+        alphas.append(alpha)
+        gammas.append(gamma)
+        s *= 2
+    u = r / b
+
+    diff = u - ud_ref[:].astype(dtype)
+    loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
+
+    # adjoint solve via factor replay (T symmetric)
+    r2 = scale * diff
+    s = 1
+    for alpha, gamma in zip(alphas, gammas):
+        r2 = (r2 + alpha * _shift_kernel_up_rows(r2, s, zero)
+              + gamma * _shift_kernel_down_rows(r2, s, zero))
+        s *= 2
+    lam = r2 / b
+
+    # ∂κ_e = −(1/h)(pλ_e − pλ_{e+1})(w_e − w_{e+1}), w = mg + p·u
+    w = mg + p * u
+    pl_ = p * lam
+    w_next = _shift_kernel_down_rows(w, 1, zero)
+    l_next = _shift_kernel_down_rows(pl_, 1, zero)
+    grad_ref[:] = -inv_h * (pl_ - l_next) * (w - w_next)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "inv_h", "scale",
+                                    "block_lanes", "shared_f"))
+def _general_pallas(ke, F, ud, cols, steps: int, inv_h: float,
+                    scale: float, block_lanes: int,
+                    shared_f: bool = False):
+    """ke: (N, B) per-element κ rows; F: (N, B) or (1, B) dummy in
+    shared-F mode; ud: (N, B); cols: (N, 128)."""
+    N, B = ke.shape
+    kernel = functools.partial(_general_step_kernel, steps=steps,
+                               inv_h=inv_h, scale=scale,
+                               shared_f=shared_f)
+    row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((N, block_lanes), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    fspec = row if shared_f else plane
+    shared = pl.BlockSpec((N, 128), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, B), ke.dtype),
+                   jax.ShapeDtypeStruct((N, B), ke.dtype)),
+        grid=(B // block_lanes,),
+        in_specs=[plane, fspec, plane, shared],
+        out_specs=(row, plane),
+        interpret=_is_cpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=B * N * (16 * steps + 20),
+            bytes_accessed=(B * (3 * N + 3)) * ke.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(ke, F, ud, cols)
+
+
+def fused_kappa_mse_step_general_pcr(mesh, kappa_e: jax.Array,
+                                     F: jax.Array, u_data: jax.Array,
+                                     scale: float | None = None,
+                                     block_lanes: int = 512,
+                                     operand_dtype=None):
+    """Fused loss-partials + ∂κ for PER-ELEMENT-κ 1D inversion (PCR form).
+
+    Same contract as fused_grad_thomas_kernel.fused_kappa_mse_step_general
+    — κ_e (B, n_elements), F (B, n) or shared (n,), u_data (B, n) →
+    (loss_parts (B,), ∂κ (B, n_elements)) — but the solves run the
+    plane-parallel PCR sweeps, which fill the VPU where the Thomas
+    chain cannot.  The measured production choice for this workload
+    (docs/PERFORMANCE.md general-κ ladder).  Requires a uniform mesh.
+    """
+    import numpy as np
+
+    B = kappa_e.shape[0]
+    n = mesh.n_nodes
+    ne = mesh.n_elements
+    dtype = mesh.dtype
+    hs = np.diff(np.asarray(mesh.nodes, np.float64)[:, 0])
+    h = float(np.mean(hs))
+    if not np.allclose(hs, h, rtol=1e-4):
+        raise ValueError("fused general-κ kernel requires a uniform mesh")
+    inv_h = 1.0 / h
+    if scale is None:
+        scale = 2.0 / (B * n)
+
+    m = mesh.bc_mask
+    p = 1.0 - m
+    mg = m * mesh.bc_values
+
+    N = _round_up(max(n, 8), 8)
+    Bp = _round_up(max(B, block_lanes), block_lanes)
+    cols = jnp.zeros((N, 128), dtype)
+    cols = cols.at[:, _GCOL_M].set(1.0).at[:n, _GCOL_M].set(m)
+    cols = cols.at[:n, _GCOL_P].set(p)
+    cols = cols.at[:n, _GCOL_MG].set(mg)
+
+    op_dtype = dtype if operand_dtype is None else operand_dtype
+    keT = jnp.zeros((N, Bp), dtype).at[:ne, :B].set(
+        jnp.asarray(kappa_e, dtype).T)
+    # padded scenarios: κ=1 on real element rows keeps them decoupled
+    # and finite (their rows solve to 0 with F = ud = 0)
+    keT = keT.at[:ne, B:].set(1.0)
+    shared_f = jnp.ndim(F) == 1
+    if shared_f:
+        cols = cols.at[:n, _GCOL_F].set(jnp.asarray(F, dtype))
+        FT = jnp.zeros((1, Bp), op_dtype)
+    else:
+        FT = jnp.zeros((N, Bp), op_dtype).at[:n, :B].set(
+            jnp.asarray(F, op_dtype).T)
+    udT = jnp.zeros((N, Bp), op_dtype).at[:n, :B].set(
+        jnp.asarray(u_data, op_dtype).T)
+
+    steps = max(1, math.ceil(math.log2(n)))
+    lp, gk = _general_pallas(keT, FT, udT, cols, steps, inv_h,
+                             float(scale), block_lanes,
+                             shared_f=shared_f)
+    return lp[0, :B], gk[:ne, :B].T

@@ -5,28 +5,34 @@ The PCR fused kernel (fused_grad_kernel.py) is VPU-element-bound: every
 cyclic-reduction sweep runs ~34 elementwise ops over the FULL (N, L)
 plane, ×⌈log₂n⌉ sweeps ≈ 170 ops per element.  At scenario counts that
 fill the lane axis there is no reason to pay that: a sequential Thomas
-solve does ~6 ops per ROW (a (1, L) slice), its O(n) depth amortized
-across L lanes — ~25× less element work for the same systems.  Depth
-only matters when parallelism is scarce; at B ≥ 10⁵ it never is.
+solve does ~6 ops per DOF row, its O(n) depth amortized across the
+batch — ~25× less element work for the same systems.  Depth only
+matters when parallelism is scarce; at B ≥ 10⁵ it never is.
+
+**Packed layout (the load-bearing trick).**  A naive (N, L) layout
+makes each row op a (1, L) slice — 1 of 8 sublanes busy, ~8× issue-slot
+waste (measured: 207 M grad-solves/s, BELOW the PCR kernel).  Instead
+the batch is split as s = k·(B/8) + q and staged as (N, 8, B/8): DOF
+row i is a FULL native (8, bl) tile holding 8·bl scenarios, so every
+Thomas step issues at native occupancy.  Per-DOF constants (mask, mg)
+live in SMEM and broadcast as scalars.
 
 This kernel also upgrades the κ contract from per-scenario scalars to
 the reference's actual entry point — PER-ELEMENT κ fields
 (/root/reference/diffhe/solver.py:29, where per-element κ is broken) —
 assembling the tridiagonal system from κ rows in-kernel:
 
-    a_i = −p·κ_{i−1}/h·p,  c_i = −p·κ_i/h·p,  d_i = (κ_{i−1}+κ_i)/h
-    (BC-eliminated; trapezoidal load passed in pre-assembled)
+    a_i = −p_i·κ_{i−1}/h·p_{i-1} …  (BC-eliminated);
+    d_i = m_i + p_i(κ_{i−1}+κ_i)/h;  trapezoidal load pre-assembled.
 
-Both solves (forward + adjoint) reuse ONE elimination: Thomas
-factorization is LU — the sweep factors (c'_i, 1/b'_i) are stored once
-and the adjoint solve replays forward/backward substitution only
-(~4 ops/row).  Everything is VMEM-resident in the transposed layout
-(DOFs on sublanes, scenarios on lanes).
+Both solves (forward + adjoint) reuse ONE factorization: the sweep
+factors (c'_i, 1/b'_i) are computed once and each extra solve is
+forward/backward substitution only (~4 ops/row).
 
-Padding contract: rows n → N multiple of 8 with κ pattern zero and
-diag 1 on padded rows (decoupled, u = 0); padded lanes sliced off by
-the caller.  Gradient parity vs the unfused XLA path is regression-
-tested (tests/test_fused_grad.py); CPU runs use interpret mode.
+Padding contract: scenarios pad to a block multiple (κ=1 rows solve to
+u=0 with F=ud=0 and contribute nothing); the caller slices.  Gradient
+parity vs the unfused XLA path is regression-tested
+(tests/test_fused_thomas.py); CPU runs use interpret mode.
 """
 
 from __future__ import annotations
@@ -40,124 +46,138 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .tridiag_kernel import _is_cpu, _round_up
 
-# Column indices in the packed (N, 128) constants block.
-_COL_M = 0      # BC mask (1 on Dirichlet AND padded rows)
-_COL_P = 1      # 1 − bc_mask on true rows, 0 on padded rows
+# Column indices in the (N, 8) SMEM constants block.
+_COL_M = 0      # BC mask (1 on Dirichlet rows)
+_COL_P = 1      # 1 − bc_mask
 _COL_MG = 2     # m ⊙ g (Dirichlet data term)
-_N_COLS = 3
+_COL_F = 3      # shared load F (shared-F mode only)
 
 
-def _fused_thomas_kernel(ke_ref, f_ref, ud_ref, cols_ref,
-                         loss_ref, grad_ref, *, n: int, inv_h: float,
-                         scale: float):
-    """ke: (N, L) per-element κ rows (row i = element i, i < n−1);
-    f/ud: (N, L) load and data; cols: (N, 128) constants.
+def _fused_thomas_kernel(cols_ref, ke_ref, f_ref, ud_ref,
+                         loss_ref, grad_ref, cp_scr, bi_scr, u_scr,
+                         lam_scr, *, n: int, inv_h: float, scale: float,
+                         shared_f: bool):
+    """cols: (N+1, 8) SMEM scalars; ke/f/ud: (N, 8, bl) packed planes.
 
-    Row-sequential Thomas on (1, L) slices, unrolled at trace time
-    (static n)."""
-    cols = cols_ref[:]
-    m = cols[:, _COL_M:_COL_M + 1]
-    p = cols[:, _COL_P:_COL_P + 1]
-    mg = cols[:, _COL_MG:_COL_MG + 1]
+    Row-sequential Thomas over DOF index i, each step a native (8, bl)
+    tile op; unrolled at trace time (static n).  Factor and solution
+    rows live in VMEM scratch refs, NOT Python lists of values — kept
+    live, ~8 row-lists of (8, bl) tiles exceed the register budget and
+    spill (measured: the list form ran at the same 190M class as the
+    unpacked layout)."""
+    dtype = ke_ref.dtype
 
-    ke = ke_ref[:]
-    # streamed operands may arrive bf16 (halved HBM traffic); all solve
-    # state is computed in the κ dtype (f32)
-    f_in = f_ref[:].astype(ke.dtype)
-    ud_in = ud_ref[:].astype(ke.dtype)
-    # element row i couples nodes (i, i+1): per-node band from κ rows
-    ke_prev = jnp.concatenate([jnp.zeros_like(ke[:1]), ke[:-1]], axis=0)
-    d = m + p * (ke_prev + ke) * inv_h            # eliminated diagonal
-    # sub/super: zero when either endpoint is Dirichlet (elimination)
-    p_next = jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
-    e = -ke * inv_h * p * p_next                  # edge i: rows i↔i+1
-    a = jnp.concatenate([jnp.zeros_like(e[:1]), e[:-1]], axis=0)
-    # RHS: mg + p·(F − K(mg)); K(mg) rows need the unit-pattern matvec
-    mg_next = jnp.concatenate([mg[1:], jnp.zeros_like(mg[:1])], axis=0)
-    mg_prev = jnp.concatenate([jnp.zeros_like(mg[:1]), mg[:-1]], axis=0)
-    Kmg = ((ke_prev + ke) * mg - ke * mg_next - ke_prev * mg_prev) * inv_h
-    r = mg + p * (f_in - Kmg)
+    def sc(i, col):
+        return cols_ref[i, col]
 
-    # ---- Thomas factorization (store cp = c'_i and bi = 1/b'_i rows) --
-    L = ke.shape[1]
-    dtype = ke.dtype
-    cp_rows = []
-    bi_rows = []
-    bi = 1.0 / d[0:1]
-    bi_rows.append(bi)
+    zero_tile = jnp.zeros((8, ke_ref.shape[2]), dtype)
 
-    def solve_fwd(rhs):
-        """Forward substitution y_i = (r_i − a_i·y_{i−1})·bi_i."""
-        ys = [rhs[0:1] * bi_rows[0]]
-        for i in range(1, n):
-            ys.append((rhs[i:i + 1] - a[i:i + 1] * ys[-1]) * bi_rows[i])
-        return ys
+    def ke(i):
+        return ke_ref[i]
 
+    def a_row(i):
+        # a_i = e_{i-1} = −κ_{i−1}/h·p_{i−1}·p_i
+        if i == 0:
+            return zero_tile
+        return ke(i - 1) * (-inv_h * sc(i - 1, _COL_P) * sc(i, _COL_P))
+
+    # ---- factorization: cp_i = c'_i, bi_i = 1/b'_i into scratch ------
+    m0, p0 = sc(0, _COL_M), sc(0, _COL_P)
+    bi = 1.0 / (m0 + p0 * ke(0) * inv_h)         # d_0 (ke_prev = 0)
+    bi_scr[0:1] = bi[None]
     for i in range(1, n):
-        cp = e[i - 1:i] * bi          # c'_{i−1} = c_{i−1}/b'_{i−1}
-        cp_rows.append(cp)
-        bi = 1.0 / (d[i:i + 1] - a[i:i + 1] * cp)
-        bi_rows.append(bi)
+        m_i, p_i = sc(i, _COL_M), sc(i, _COL_P)
+        d_i = m_i + p_i * (ke(i - 1) + ke(i)) * inv_h
+        e_prev = ke(i - 1) * (-inv_h * sc(i - 1, _COL_P) * p_i)
+        cp = e_prev * bi
+        cp_scr[i - 1:i] = cp[None]
+        bi = 1.0 / (d_i - a_row(i) * cp)
+        bi_scr[i:i + 1] = bi[None]
 
-    def solve(rhs):
-        ys = solve_fwd(rhs)
-        u_rows = [None] * n
-        u_rows[n - 1] = ys[n - 1]
+    def r_row(i):
+        m_i, p_i, mg_i = sc(i, _COL_M), sc(i, _COL_P), sc(i, _COL_MG)
+        ke_i = ke(i)
+        ke_prev = ke(i - 1) if i > 0 else zero_tile
+        mg_next = sc(i + 1, _COL_MG)             # row n exists, zero
+        mg_prev = sc(i - 1, _COL_MG) if i > 0 else 0.0
+        Kmg = ((ke_prev + ke_i) * mg_i - ke_i * mg_next
+               - ke_prev * mg_prev) * inv_h
+        f_i = sc(i, _COL_F) if shared_f else f_ref[i].astype(dtype)
+        return mg_i + p_i * (f_i - Kmg)
+
+    def solve(rhs_fn, out):
+        """rhs_fn(i) → row; result rows land in ``out`` (VMEM)."""
+        y = rhs_fn(0) * bi_scr[0]
+        out[0:1] = y[None]
+        for i in range(1, n):
+            y = (rhs_fn(i) - a_row(i) * y) * bi_scr[i]
+            out[i:i + 1] = y[None]
+        u = out[n - 1]
         for i in range(n - 2, -1, -1):
-            u_rows[i] = ys[i] - cp_rows[i] * u_rows[i + 1]
-        return jnp.concatenate(u_rows, axis=0)
+            u = out[i] - cp_scr[i] * u
+            out[i:i + 1] = u[None]
+        return out
 
-    u_n = solve(r[:n])
-    pad = r.shape[0] - n
-    u = jnp.concatenate([u_n, jnp.zeros((pad, L), dtype)], axis=0) \
-        if pad else u_n
+    solve(r_row, u_scr)
 
-    diff = u - ud_in
-    loss_ref[:] = jnp.sum(diff * diff, axis=0, keepdims=True)
+    loss = zero_tile
+    for i in range(n):
+        d_i = u_scr[i] - ud_ref[i].astype(dtype)
+        loss = loss + d_i * d_i
+    loss_ref[:] = loss
 
-    lam_n = solve((scale * diff)[:n])
-    lam = jnp.concatenate([lam_n, jnp.zeros((pad, L), dtype)], axis=0) \
-        if pad else lam_n
+    solve(lambda i: scale * (u_scr[i] - ud_ref[i].astype(dtype)),
+          lam_scr)
 
-    # ∂κ_e per element: κ enters T and the RHS elimination linearly —
-    # ∂(λᵀ(b − T u))/∂κ_e = −(1/h)(λ_a − λ_b)(w_a − w_b) with
-    # w = mg + p·u (the eliminated solution including Dirichlet data),
-    # λ masked to free rows.
-    w = mg + p * u
-    pl_ = p * lam
-    w_next = jnp.concatenate([w[1:], jnp.zeros_like(w[:1])], axis=0)
-    l_next = jnp.concatenate([pl_[1:], jnp.zeros_like(pl_[:1])], axis=0)
-    grad_ref[:] = -inv_h * (pl_ - l_next) * (w - w_next)
+    # ∂κ_e per element e = 0..n-2:  −(1/h)(pλ_e − pλ_{e+1})(w_e − w_{e+1})
+    # with w = mg + p·u (eliminated solution incl. Dirichlet data).
+    for e in range(n - 1):
+        p_e, p_n = sc(e, _COL_P), sc(e + 1, _COL_P)
+        mg_e, mg_n = sc(e, _COL_MG), sc(e + 1, _COL_MG)
+        pl_e = p_e * lam_scr[e]
+        pl_n = p_n * lam_scr[e + 1]
+        w_e = mg_e + p_e * u_scr[e]
+        w_n = mg_n + p_n * u_scr[e + 1]
+        grad_ref[e] = -inv_h * (pl_e - pl_n) * (w_e - w_n)
+    for e in range(n - 1, grad_ref.shape[0]):
+        grad_ref[e] = zero_tile
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "inv_h", "scale", "block_lanes"))
-def _thomas_pallas(ke, F, ud, cols, n: int, inv_h: float, scale: float,
-                   block_lanes: int):
-    """ke, F, ud: (N, B); cols: (N, 128).  B % block_lanes == 0."""
-    N, B = F.shape
+                   static_argnames=("n", "inv_h", "scale", "block_lanes",
+                                    "shared_f"))
+def _thomas_pallas(cols, ke, F, ud, n: int, inv_h: float, scale: float,
+                   block_lanes: int, shared_f: bool = False):
+    """cols: (N+1, 8) SMEM; ke/F/ud: (N, 8, Q) packed.  Q % bl == 0.
+    In shared-F mode F is a dummy (1, 8, Q) plane (the load rides SMEM
+    column 3 instead of streaming per scenario)."""
+    N, _, Q = ke.shape
     kernel = functools.partial(_fused_thomas_kernel, n=n, inv_h=inv_h,
-                               scale=scale)
-    row = pl.BlockSpec((1, block_lanes), lambda i: (0, i),
-                       memory_space=pltpu.VMEM)
-    plane = pl.BlockSpec((N, block_lanes), lambda i: (0, i),
+                               scale=scale, shared_f=shared_f)
+    plane = pl.BlockSpec((N, 8, block_lanes), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM)
-    shared = pl.BlockSpec((N, 128), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
+    fplane = pl.BlockSpec((1, 8, block_lanes), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM) if shared_f else plane
+    tile = pl.BlockSpec((8, block_lanes), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((N + 1, 8), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((1, B), ke.dtype),
-                   jax.ShapeDtypeStruct((N, B), ke.dtype)),
-        grid=(B // block_lanes,),
-        in_specs=[plane, plane, plane, shared],
-        out_specs=(row, plane),
+        out_shape=(jax.ShapeDtypeStruct((8, Q), ke.dtype),
+                   jax.ShapeDtypeStruct((N, 8, Q), ke.dtype)),
+        grid=(Q // block_lanes,),
+        in_specs=[smem, plane, fplane, plane],
+        out_specs=(tile, plane),
+        scratch_shapes=[pltpu.VMEM((N, 8, block_lanes), ke.dtype)
+                        for _ in range(4)],
         interpret=_is_cpu(),
         cost_estimate=pl.CostEstimate(
-            flops=B * N * 22,
-            bytes_accessed=(B * (4 * N + 1)) * F.dtype.itemsize,
+            flops=8 * Q * N * 22,
+            bytes_accessed=(8 * Q * (4 * N + 1)) * F.dtype.itemsize,
             transcendentals=0,
         ),
-    )(ke, F, ud, cols)
+    )(cols, ke, F, ud)
 
 
 def fused_kappa_mse_step_general(mesh, kappa_e: jax.Array, F: jax.Array,
@@ -177,8 +197,9 @@ def fused_kappa_mse_step_general(mesh, kappa_e: jax.Array, F: jax.Array,
     κ_e: (B, n_elements); F: (B, n) or shared (n,) assembled load;
     u_data: (B, n).  Returns (loss_parts (B,), grad (B, n_elements)).
     ``operand_dtype=jnp.bfloat16`` stores the streamed F/u_data planes
-    in bf16 (halves their HBM traffic; κ and all solve state stay f32).
-    Not differentiable — it IS the gradient step.
+    in bf16 (halves their HBM traffic; κ and all solve state stay f32 —
+    gradient class ~4e-3, tests/test_fused_thomas.py).  Not
+    differentiable — it IS the gradient step.
 
     Requires a uniform mesh (single h — the in-kernel assembly uses one
     1/h; FEMesh.line meshes qualify).  The reference's per-element-κ
@@ -190,7 +211,9 @@ def fused_kappa_mse_step_general(mesh, kappa_e: jax.Array, F: jax.Array,
     n = mesh.n_nodes
     ne = mesh.n_elements
     dtype = mesh.dtype
-    hs = np.diff(np.asarray(mesh.nodes[:, 0], np.float64))
+    # slice in numpy: a jnp slice would stage to a tracer when this
+    # helper is called inside a jitted step function
+    hs = np.diff(np.asarray(mesh.nodes, np.float64)[:, 0])
     h = float(np.mean(hs))
     # tolerance covers f32 linspace jitter (~n·ε relative per spacing)
     if not np.allclose(hs, h, rtol=1e-4):
@@ -203,23 +226,52 @@ def fused_kappa_mse_step_general(mesh, kappa_e: jax.Array, F: jax.Array,
     p = 1.0 - m
     mg = m * mesh.bc_values
 
-    N = _round_up(max(n, 8), 8)
-    Bp = _round_up(max(B, block_lanes), block_lanes)
-    cols = jnp.zeros((N, 128), dtype)
-    cols = cols.at[:, _COL_M].set(1.0).at[:n, _COL_M].set(m)
+    N = max(n, 8)
+    group = 8 * block_lanes
+    Bp = _round_up(max(B, group), group)
+    Q = Bp // 8
+
+    # SMEM per-row scalars (built with jnp — callers jit this helper, so
+    # numpy staging would see tracers); one extra row so sc(i+1, ·) at
+    # i = n−1 is a plain in-bounds read (returns 0/0/0 there, never used)
+    cols = jnp.zeros((N + 1, 8), dtype)
+    cols = cols.at[:n, _COL_M].set(m)
     cols = cols.at[:n, _COL_P].set(p)
     cols = cols.at[:n, _COL_MG].set(mg)
 
     op_dtype = dtype if operand_dtype is None else operand_dtype
-    keT = jnp.zeros((N, Bp), dtype).at[:ne, :B].set(
-        jnp.asarray(kappa_e, dtype).T)
-    # bf16 operand storage: the PALLAS INPUTS carry op_dtype, so the HBM
-    # stream is halved; the kernel casts to f32 on read
-    FT = jnp.zeros((N, Bp), op_dtype).at[:n, :B].set(
-        jnp.broadcast_to(jnp.asarray(F, op_dtype), (B, n)).T)
-    udT = jnp.zeros((N, Bp), op_dtype).at[:n, :B].set(
-        jnp.asarray(u_data, op_dtype).T)
 
-    lp, gk = _thomas_pallas(keT, FT, udT, cols, n, inv_h, float(scale),
-                            block_lanes)
-    return lp[0, :B], gk[:ne, :B].T
+    def pack(x, fill, dt):
+        """(B, cols) → (N, 8, Q): s = k·Q + q ↦ [:, k, q]."""
+        xp = jnp.full((Bp, N), fill, dt).at[:x.shape[0],
+                                            :x.shape[-1]].set(
+            jnp.asarray(x, dt))
+        if x.shape[-1] < N:
+            # fake element/node columns are zero for EVERY scenario
+            # (fill only pads scenarios) — a fill of 1.0 in column ne
+            # would corrupt the last node's diagonal on one-sided-BC
+            # meshes
+            xp = xp.at[:, x.shape[-1]:].set(0.0)
+        return xp.reshape(8, Q, N).transpose(2, 0, 1)
+
+    # padded scenarios carry κ=1 on REAL element columns (keeps the
+    # factorization finite; their outputs are sliced off)
+    ke_full = jnp.ones((Bp, ne), dtype).at[:B].set(
+        jnp.asarray(kappa_e, dtype))
+    keT = pack(ke_full, 0.0, dtype)
+    shared_f = jnp.ndim(F) == 1
+    if shared_f:
+        # shared forcing rides SMEM column 3 — streaming a broadcast
+        # (B, n) copy would be ~25% of the kernel's HBM bytes
+        cols = cols.at[:n, _COL_F].set(jnp.asarray(F, dtype))
+        FT = jnp.zeros((1, 8, Q), op_dtype)
+    else:
+        FT = pack(jnp.asarray(F, op_dtype), 0.0, op_dtype)
+    udT = pack(u_data, 0.0, op_dtype)
+
+    lp, gk = _thomas_pallas(cols, keT, FT, udT, n, inv_h, float(scale),
+                            block_lanes, shared_f=shared_f)
+    # unpack: (8, Q) → (Bp,); (N, 8, Q) → (Bp, N)
+    lp = lp.reshape(Bp)[:B]
+    gk = gk.transpose(1, 2, 0).reshape(Bp, N)[:B, :ne]
+    return lp, gk

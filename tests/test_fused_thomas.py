@@ -1,6 +1,8 @@
-"""Fused general per-element-κ Thomas grad-step kernel
-(ops/pallas/fused_grad_thomas_kernel.py): loss + per-element gradient
-parity against the unfused XLA path (VERDICT-r4 item 5)."""
+"""Fused general per-element-κ grad-step kernels — the Thomas form
+(ops/pallas/fused_grad_thomas_kernel.py) and the PCR form
+(fused_grad_kernel.py:fused_kappa_mse_step_general_pcr): loss +
+per-element gradient parity against the unfused XLA path (VERDICT-r4
+item 5).  Both run the same suite via the ``impl`` fixture."""
 
 import jax
 import jax.numpy as jnp
@@ -9,9 +11,18 @@ import pytest
 
 from difffe_tpu.mesh import FEMesh
 from difffe_tpu.ops.assembly import assemble_load
+from difffe_tpu.ops.pallas.fused_grad_kernel import \
+    fused_kappa_mse_step_general_pcr
 from difffe_tpu.ops.pallas.fused_grad_thomas_kernel import \
-    fused_kappa_mse_step_general
+    fused_kappa_mse_step_general as fused_kappa_mse_step_general_thomas
 from difffe_tpu.solver import solve_poisson_batched
+
+
+@pytest.fixture(params=["thomas", "pcr"])
+def fused_kappa_mse_step_general(request):
+    return (fused_kappa_mse_step_general_thomas
+            if request.param == "thomas"
+            else fused_kappa_mse_step_general_pcr)
 
 
 def _reference(mesh, f, u_data):
@@ -23,7 +34,7 @@ def _reference(mesh, f, u_data):
 
 class TestFusedThomasGeneralKappa:
     @pytest.mark.parametrize("n,B", [(30, 16), (13, 7), (100, 4)])
-    def test_loss_and_grad_match_xla(self, n, B):
+    def test_loss_and_grad_match_xla(self, n, B, fused_kappa_mse_step_general):
         mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
         x = mesh.nodes[:, 0]
         key = jax.random.PRNGKey(0)
@@ -45,7 +56,7 @@ class TestFusedThomasGeneralKappa:
         np.testing.assert_allclose(np.asarray(gk), np.asarray(grad_ref),
                                    rtol=1e-3, atol=1e-7)
 
-    def test_nonzero_dirichlet(self):
+    def test_nonzero_dirichlet(self, fused_kappa_mse_step_general):
         n, B = 24, 5
         mesh = FEMesh.line(n_elements=n, bc_left=0.7, bc_right=-0.4,
                            dtype=jnp.float32)
@@ -66,7 +77,7 @@ class TestFusedThomasGeneralKappa:
         np.testing.assert_allclose(np.asarray(gk), np.asarray(grad_ref),
                                    rtol=1e-3, atol=1e-7)
 
-    def test_bf16_operand_storage_stays_close(self):
+    def test_bf16_operand_storage_stays_close(self, fused_kappa_mse_step_general):
         """bf16-streamed F/u_data: gradients track f32 to bf16 accuracy
         class (the solve itself stays f32)."""
         n, B = 30, 8
@@ -87,7 +98,7 @@ class TestFusedThomasGeneralKappa:
                     / jnp.max(jnp.abs(gk32)))
         assert rel < 3e-2, rel
 
-    def test_scalar_kappa_consistency_with_pcr_kernel(self):
+    def test_scalar_kappa_consistency_with_pcr_kernel(self, fused_kappa_mse_step_general):
         """A constant per-element field equals the scalar-κ PCR kernel's
         answer (chain rule: ∂logκ = κ·Σ_e ∂κ_e)."""
         from difffe_tpu.ops.pallas.fused_grad_kernel import \
@@ -111,7 +122,29 @@ class TestFusedThomasGeneralKappa:
             np.asarray(jnp.exp(log_k) * gk_g.sum(axis=1)),
             np.asarray(gk_s), rtol=1e-3, atol=1e-7)
 
-    def test_nonuniform_mesh_raises(self):
+    def test_shared_f_matches_per_scenario(self, fused_kappa_mse_step_general):
+        """Shared-F mode (F rides SMEM) equals streaming the broadcast
+        copy."""
+        n, B = 30, 8
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+        ke = 1.0 + jax.random.uniform(jax.random.PRNGKey(11), (B, n),
+                                      jnp.float32)
+        x = mesh.nodes[:, 0]
+        f1 = jnp.sin(jnp.pi * x) + 1.0
+        F1 = assemble_load(mesh, f1)
+        u_data = jax.random.normal(jax.random.PRNGKey(12),
+                                   (B, mesh.n_nodes), jnp.float32)
+        lp_s, gk_s = fused_kappa_mse_step_general(mesh, ke, F1, u_data,
+                                                  block_lanes=128)
+        FB = jnp.broadcast_to(F1, (B, mesh.n_nodes))
+        lp_b, gk_b = fused_kappa_mse_step_general(mesh, ke, FB, u_data,
+                                                  block_lanes=128)
+        np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_b),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gk_s), np.asarray(gk_b),
+                                   rtol=1e-5, atol=1e-9)
+
+    def test_nonuniform_mesh_raises(self, fused_kappa_mse_step_general):
         mesh = FEMesh.line(n_elements=8, dtype=jnp.float32)
         import dataclasses
         nodes = mesh.nodes.at[3, 0].add(0.02)
