@@ -37,6 +37,8 @@ __all__ = [
     "choose_3d_path",
     "choose_3d_grad_step",
     "solve_poisson_cg_ell_batched",
+    "solve_poisson_cf_batched",
+    "kappa_sgd_chain_cf",
 ]
 
 
@@ -69,6 +71,12 @@ def __getattr__(name):
     if name == "solve_poisson_cg_ell_batched":
         from .ops.unstructured import solve_poisson_cg_ell_batched
         return solve_poisson_cg_ell_batched
+    if name == "solve_poisson_cf_batched":
+        from .ops.cf1d import solve_poisson_cf_batched
+        return solve_poisson_cf_batched
+    if name == "kappa_sgd_chain_cf":
+        from .ops.pallas.fused_grad_cf_kernel import kappa_sgd_chain_cf
+        return kappa_sgd_chain_cf
     if name in ("StructuredGrid3", "solve_poisson_structured_3d",
                 "solve_poisson_structured_3d_batched", "choose_3d_path",
                 "choose_3d_grad_step"):

@@ -1,0 +1,148 @@
+"""TPU probe: closed-form prefix-sum general-κ grad step (ops/cf1d.py)
+vs the Pallas PCR/Thomas kernels on the flagship B=2M workload.
+
+The closed form replaces the factorized solve with 4 cumsums + ~15
+elementwise ops per grad step — exact, so the 1e-4 parity gate is free.
+Question: where does pure-XLA closed form land against the 235M Pallas
+general-κ plateau and the 827M scalar-κ v3 headline?
+
+Run:  python scripts/probe_cf1d.py    (one TPU job at a time)
+"""
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.cf1d import kappa_mse_step_cf
+    from difffe_tpu.solver import solve_poisson_batched
+    from difffe_tpu.utils.profiling import timeit_chained
+
+    n = 30
+    mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+    x = mesh.nodes[:, 0]
+    fv = (jnp.sin(jnp.pi * x) + 1.0).astype(jnp.float32)
+    Fs = assemble_load(mesh, fv)
+
+    # -------- parity gate (vs unfused XLA tridiag grad) ---------------
+    Bp = 4096
+    ke_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (Bp, n),
+                                       jnp.float32)
+    fB = jnp.broadcast_to(fv, (Bp, mesh.n_nodes))
+    u_data_p = solve_poisson_batched(mesh, ke_true, fB, method="tridiag")
+    ke0 = 1.0 + 0.3 * jax.random.uniform(jax.random.PRNGKey(1), (Bp, n),
+                                         jnp.float32)
+
+    def ref_loss(ke):
+        u = solve_poisson_batched(mesh, ke, fB, method="tridiag")
+        return jnp.mean((u - u_data_p) ** 2)
+
+    gref = jax.grad(ref_loss)(ke0)
+    _, gk = kappa_mse_step_cf(mesh, ke0, Fs, u_data_p)
+    rel = float(jnp.max(jnp.abs(gk - gref)) / jnp.max(jnp.abs(gref)))
+    print(f"parity closed-form f32 vs XLA tridiag: {rel:.2e} "
+          f"gate<1e-4: {'PASS' if rel < 1e-4 else 'FAIL'}", flush=True)
+
+    # -------- throughput ----------------------------------------------
+    B = 2 * 1024 * 1024
+    ud = jnp.broadcast_to(
+        solve_poisson_batched(mesh, jnp.full((1,), 2.0, jnp.float32),
+                              fv[None], kappa_batched=True)[0],
+        (B, mesh.n_nodes))
+
+    def run_cf(tag):
+        ke_init = jnp.ones((B, n), jnp.float32)
+
+        def step(ke):
+            lp, gk = kappa_mse_step_cf(mesh, ke, Fs, ud)
+            return ke - 30.0 * gk
+
+        r = timeit_chained(step, ke_init, length=12, repeats=3)
+        print(f"  closed-form XLA {tag}: {B/r.min_s/1e6:8.1f} M "
+              f"grad-solves/s", flush=True)
+
+    from difffe_tpu.ops.pallas.fused_grad_cf_kernel import (
+        cf_packed_operands, cf_unpack, fused_kappa_mse_step_general_cf,
+        kappa_mse_step_cf_packed)
+
+    # kernel parity on-chip
+    for via in ("vpu", "mxu"):
+        _, gk = fused_kappa_mse_step_general_cf(mesh, ke0, Fs, u_data_p,
+                                                cumsum_via=via)
+        rel = float(jnp.max(jnp.abs(gk - gref)) / jnp.max(jnp.abs(gref)))
+        print(f"parity kernel {via}: {rel:.2e} gate<1e-4: "
+              f"{'PASS' if rel < 1e-4 else 'FAIL'}", flush=True)
+
+    def run_kernel(via, bl, shared_ud, tag):
+        ke_init = jnp.ones((B, n), jnp.float32)
+        ud_arg = ud[0] if shared_ud else ud
+
+        def step(ke):
+            lp, gk = fused_kappa_mse_step_general_cf(
+                mesh, ke, Fs, ud_arg, block_lanes=bl, cumsum_via=via)
+            return ke - 30.0 * gk
+
+        try:
+            r = timeit_chained(step, ke_init, length=12, repeats=3)
+        except Exception as e:
+            print(f"  kernel {tag}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            return
+        print(f"  kernel {tag}: {B/r.min_s/1e6:8.1f} M grad-solves/s",
+              flush=True)
+
+    def run_packed(via, bl):
+        ke_init = jnp.ones((B, n), jnp.float32)
+        keT, aux = cf_packed_operands(mesh, ke_init, Fs, ud[0],
+                                      block_lanes=bl)
+
+        def step(keT):
+            lp, gT = kappa_mse_step_cf_packed(keT, aux, cumsum_via=via)
+            return keT - 30.0 * gT
+
+        try:
+            r = timeit_chained(step, keT, length=12, repeats=3)
+        except Exception as e:
+            print(f"  packed {via} bl={bl}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            return
+        print(f"  packed {via} bl={bl}: {B/r.min_s/1e6:8.1f} M "
+              f"grad-solves/s", flush=True)
+
+    from difffe_tpu.ops.pallas.fused_grad_cf_kernel import \
+        kappa_sgd_chain_cf
+
+    def run_chain(via, bl, n_inner):
+        ke_init = jnp.ones((B, n), jnp.float32)
+        keT, aux = cf_packed_operands(mesh, ke_init, Fs, ud[0],
+                                      block_lanes=bl)
+
+        def step(keT):
+            lp, keT2 = kappa_sgd_chain_cf(keT, aux, n_inner, 30.0,
+                                          cumsum_via=via)
+            return keT2
+
+        try:
+            r = timeit_chained(step, keT, length=12, repeats=3)
+        except Exception as e:
+            print(f"  chain {via} bl={bl} k={n_inner}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+            return
+        print(f"  chain {via} bl={bl} k={n_inner}: "
+              f"{B*n_inner/r.min_s/1e6:8.1f} M grad-solves/s", flush=True)
+
+    print(f"--- n={n} B={B}", flush=True)
+    for via in ("mxu", "vpu"):
+        for bl in (2048, 4096):
+            run_packed(via, bl)
+    for via in ("mxu", "vpu"):
+        for k in (4, 16):
+            run_chain(via, 2048, k)
+    run_chain("mxu", 4096, 16)
+    run_chain("vpu", 4096, 16)
+    run_chain("vpu", 2048, 64)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Closed-form prefix-sum general-κ path (ops/cf1d.py + the Pallas
+chain kernel ops/pallas/fused_grad_cf_kernel.py): exact solve parity
+vs the tridiag path, gradient parity of the fused step, chain-vs-
+sequential equivalence, and the scope guards."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from difffe_tpu.mesh import FEMesh
+from difffe_tpu.ops.assembly import assemble_load
+from difffe_tpu.ops.cf1d import (
+    kappa_mse_step_cf,
+    mesh_supports_cf,
+    solve_poisson_cf_batched,
+)
+from difffe_tpu.ops.pallas.fused_grad_cf_kernel import (
+    cf_packed_operands,
+    cf_unpack,
+    fused_kappa_mse_step_general_cf,
+    kappa_mse_step_cf_packed,
+    kappa_sgd_chain_cf,
+)
+from difffe_tpu.solver import solve_poisson_batched
+
+
+def _setup(n=30, B=16, dtype=jnp.float32, bc=(0.4, -0.1), seed=0,
+           nonuniform=False):
+    mesh = FEMesh.line(n_elements=n, dtype=dtype, bc_left=bc[0],
+                       bc_right=bc[1])
+    if nonuniform:
+        xs = (jnp.asarray(mesh.nodes)[:, 0] ** 1.5).reshape(-1, 1)
+        mesh = dataclasses.replace(mesh, nodes=xs.astype(dtype))
+    x = mesh.nodes[:, 0]
+    fv = (jnp.sin(jnp.pi * x) + 1.0).astype(dtype)
+    key = jax.random.PRNGKey(seed)
+    ke_true = 1.0 + jax.random.uniform(key, (B, n), dtype)
+    fB = jnp.broadcast_to(fv, (B, mesh.n_nodes))
+    u_data = solve_poisson_batched(mesh, ke_true, fB, method="tridiag")
+    ke0 = 1.0 + 0.3 * jax.random.uniform(jax.random.PRNGKey(seed + 1),
+                                         (B, n), dtype)
+    return mesh, fv, fB, u_data, ke0
+
+
+def _ref_grad(mesh, fB, u_data, ke):
+    def loss(k):
+        u = solve_poisson_batched(mesh, k, fB, method="tridiag")
+        return jnp.mean((u - u_data) ** 2)
+    return jax.value_and_grad(loss)(ke)
+
+
+class TestClosedFormXLA:
+    @pytest.mark.parametrize("nonuniform", [False, True])
+    def test_solve_matches_tridiag(self, nonuniform):
+        mesh, fv, fB, u_data, ke0 = _setup(nonuniform=nonuniform)
+        u_ref = solve_poisson_batched(mesh, ke0, fB, method="tridiag")
+        u_cf = solve_poisson_cf_batched(mesh, ke0, fB)
+        np.testing.assert_allclose(np.asarray(u_cf), np.asarray(u_ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_solve_batched_bc_values(self):
+        mesh, fv, fB, u_data, ke0 = _setup(B=6)
+        B = 6
+        bv = jnp.zeros((B, mesh.n_nodes), mesh.dtype)
+        bv = bv.at[:, 0].set(jnp.linspace(-1.0, 1.0, B,
+                                          dtype=mesh.dtype))
+        bv = bv.at[:, -1].set(0.5)
+        u_ref = solve_poisson_batched(mesh, ke0, fB, method="tridiag",
+                                      bc_values=bv)
+        u_cf = solve_poisson_cf_batched(mesh, ke0, fB, bc_values=bv)
+        np.testing.assert_allclose(np.asarray(u_cf), np.asarray(u_ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    @pytest.mark.parametrize("nonuniform", [False, True])
+    def test_autodiff_grad_matches_tridiag(self, nonuniform):
+        mesh, fv, fB, u_data, ke0 = _setup(nonuniform=nonuniform)
+
+        def loss_cf(k):
+            u = solve_poisson_cf_batched(mesh, k, fB)
+            return jnp.mean((u - u_data) ** 2)
+
+        _, g_ref = _ref_grad(mesh, fB, u_data, ke0)
+        g_cf = jax.grad(loss_cf)(ke0)
+        np.testing.assert_allclose(np.asarray(g_cf), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-8)
+
+    @pytest.mark.parametrize("nonuniform", [False, True])
+    def test_fused_step_matches_xla(self, nonuniform):
+        mesh, fv, fB, u_data, ke0 = _setup(nonuniform=nonuniform)
+        B, n = 16, mesh.n_nodes
+        loss_ref, g_ref = _ref_grad(mesh, fB, u_data, ke0)
+        Fs = assemble_load(mesh, fv)
+        lp, gk = kappa_mse_step_cf(mesh, ke0, Fs, u_data)
+        np.testing.assert_allclose(float(lp.sum() / (B * n)),
+                                   float(loss_ref), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-8)
+
+    def test_supports_predicate(self):
+        mesh, *_ = _setup()
+        assert mesh_supports_cf(mesh)
+        assert not mesh_supports_cf(FEMesh.rectangle(4, 4))
+        assert not mesh_supports_cf(FEMesh.line_p2(8))
+        one_sided = FEMesh.line(8, dirichlet_right=False) \
+            if "dirichlet_right" in FEMesh.line.__code__.co_varnames \
+            else None
+        if one_sided is not None:
+            assert not mesh_supports_cf(one_sided)
+
+    def test_interior_dirichlet_raises(self):
+        mesh, fv, fB, u_data, ke0 = _setup()
+        m = jnp.asarray(mesh.bc_mask).at[5].set(1.0)
+        mesh2 = dataclasses.replace(mesh, bc_mask=m)
+        with pytest.raises(ValueError):
+            solve_poisson_cf_batched(mesh2, ke0, fB)
+
+
+class TestClosedFormKernel:
+    @pytest.mark.parametrize("via", ["vpu", "mxu"])
+    @pytest.mark.parametrize("shared_ud", [False, True])
+    def test_grad_parity(self, via, shared_ud):
+        mesh, fv, fB, u_data, ke0 = _setup(B=192)
+        if shared_ud:
+            u_data = jnp.broadcast_to(u_data[0], u_data.shape)
+        _, g_ref = _ref_grad(mesh, fB, u_data, ke0)
+        Fs = assemble_load(mesh, fv)
+        ud_arg = u_data[0] if shared_ud else u_data
+        lp, gk = fused_kappa_mse_step_general_cf(
+            mesh, ke0, Fs, ud_arg, block_lanes=128, cumsum_via=via)
+        rel = float(jnp.max(jnp.abs(gk - g_ref))
+                    / jnp.max(jnp.abs(g_ref)))
+        assert rel < 1e-4, f"grad parity {rel:.2e}"
+
+    @pytest.mark.parametrize("n,B", [(13, 40), (100, 12)])
+    def test_sizes(self, n, B):
+        mesh, fv, fB, u_data, ke0 = _setup(n=n, B=B)
+        _, g_ref = _ref_grad(mesh, fB, u_data, ke0)
+        Fs = assemble_load(mesh, fv)
+        lp, gk = fused_kappa_mse_step_general_cf(
+            mesh, ke0, Fs, u_data, block_lanes=128)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-8)
+
+    def test_nonuniform_mesh(self):
+        mesh, fv, fB, u_data, ke0 = _setup(nonuniform=True)
+        _, g_ref = _ref_grad(mesh, fB, u_data, ke0)
+        Fs = assemble_load(mesh, fv)
+        lp, gk = fused_kappa_mse_step_general_cf(
+            mesh, ke0, Fs, u_data, block_lanes=128)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-8)
+
+    def test_bf16_streamed_ud_class(self):
+        mesh, fv, fB, u_data, ke0 = _setup(B=192)
+        _, g_ref = _ref_grad(mesh, fB, u_data, ke0)
+        Fs = assemble_load(mesh, fv)
+        _, gk = fused_kappa_mse_step_general_cf(
+            mesh, ke0, Fs, u_data, block_lanes=128,
+            operand_dtype=jnp.bfloat16)
+        rel = float(jnp.max(jnp.abs(gk - g_ref))
+                    / jnp.max(jnp.abs(g_ref)))
+        assert rel < 1e-2, f"bf16 class {rel:.2e}"
+
+    def test_batched_F_raises(self):
+        mesh, fv, fB, u_data, ke0 = _setup()
+        FB = assemble_load(mesh, fB)
+        with pytest.raises(ValueError):
+            fused_kappa_mse_step_general_cf(mesh, ke0, FB, u_data)
+
+    def test_general_mask_raises(self):
+        mesh, fv, fB, u_data, ke0 = _setup()
+        m = jnp.asarray(mesh.bc_mask).at[5].set(1.0)
+        mesh2 = dataclasses.replace(mesh, bc_mask=m)
+        Fs = assemble_load(mesh, fv)
+        with pytest.raises(ValueError):
+            fused_kappa_mse_step_general_cf(mesh2, ke0, Fs, u_data)
+
+
+class TestPackedChain:
+    @pytest.mark.parametrize("shared_ud", [True, False])
+    def test_packed_step_matches_unpacked(self, shared_ud):
+        mesh, fv, fB, u_data, ke0 = _setup(B=192)
+        Fs = assemble_load(mesh, fv)
+        ud_arg = u_data[0] if shared_ud else u_data
+        lp0, g0 = fused_kappa_mse_step_general_cf(
+            mesh, ke0, Fs, ud_arg, block_lanes=128)
+        keT, aux = cf_packed_operands(mesh, ke0, Fs, ud_arg,
+                                      block_lanes=128)
+        lp1, gT = kappa_mse_step_cf_packed(keT, aux)
+        np.testing.assert_allclose(np.asarray(lp1[0, :192]),
+                                   np.asarray(lp0), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gT[:mesh.n_elements, :192].T), np.asarray(g0),
+            rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(cf_unpack(keT, aux)),
+                                   np.asarray(ke0), rtol=0, atol=0)
+
+    @pytest.mark.parametrize("via", ["vpu", "mxu"])
+    @pytest.mark.parametrize("shared_ud", [True, False])
+    def test_chain_matches_sequential(self, via, shared_ud):
+        mesh, fv, fB, u_data, ke0 = _setup(B=192)
+        Fs = assemble_load(mesh, fv)
+        ud_arg = u_data[0] if shared_ud else u_data
+        lr, k = 30.0, 5
+        keT, aux = cf_packed_operands(mesh, ke0, Fs, ud_arg,
+                                      block_lanes=128)
+        _, keT_chain = kappa_sgd_chain_cf(keT, aux, k, lr,
+                                          cumsum_via=via)
+        keT_seq = keT
+        for _ in range(k):
+            _, gT = kappa_mse_step_cf_packed(keT_seq, aux,
+                                             cumsum_via=via)
+            keT_seq = keT_seq - lr * gT
+        np.testing.assert_allclose(np.asarray(cf_unpack(keT_chain, aux)),
+                                   np.asarray(cf_unpack(keT_seq, aux)),
+                                   rtol=1e-4, atol=1e-7)
+
+    def test_chain_descends(self):
+        mesh, fv, fB, u_data, ke0 = _setup(B=192)
+        Fs = assemble_load(mesh, fv)
+        keT, aux = cf_packed_operands(mesh, ke0, Fs, u_data,
+                                      block_lanes=128)
+        lp0, keT1 = kappa_sgd_chain_cf(keT, aux, 1, 30.0)
+        lp1, _ = kappa_sgd_chain_cf(keT1, aux, 30, 30.0)
+        assert float(lp1[0, :192].sum()) < float(lp0[0, :192].sum())
