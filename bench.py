@@ -1,33 +1,41 @@
 """Headline benchmark: batched differentiable FEM solves/s/chip (fwd+adjoint).
 
-Workload: 1D Poisson κ-inversion gradient step — B scenarios, each a forward
-FEM solve plus an adjoint solve with gradients to per-scenario κ — on a
-30-element mesh, matching the reference's measured 95 grad-solves/s
-(fwd+backward ∂/∂κ, 30 elements, CPU float64 — BASELINE.md 'measured').
+Workload: 1D Poisson κ-inversion gradient steps — B scenarios, each a
+forward FEM solve plus an adjoint solve with gradients to PER-ELEMENT κ
+(30 parameters per scenario, the reference's κ entry point
+/root/reference/diffhe/solver.py:29) — on a 30-element mesh, against the
+reference's measured 95 grad-solves/s (fwd+backward ∂/∂κ, 30 elements,
+CPU float64 — BASELINE.md 'measured').  Round 5 moved the headline from
+per-scenario-SCALAR κ to the per-element field: the scalar workload is
+analytically degenerate (u is affine in 1/κ, so the whole loss curve has
+a closed form and any rate is attainable — docs/PERFORMANCE.md round-5
+section), while the field workload is the reference's real gradient path
+and strictly harder (30 gradients per scenario, no factorization shared
+across steps).
 
-Production path: the MXU-factorized fused grad-step Pallas kernel
-(ops/pallas/fused_grad_mxu_kernel.py) — for per-scenario scalar κ the
-BC-eliminated system factors as diag(m+κp)·Ã, so the solve is a
-precomputed-inverse matmul: RHS assembly, u = W(D⁻¹r), loss partials,
-adjoint λ = W(D⁻¹ḡ), κ contraction in one VMEM-resident launch with the
-two matmuls on the MXU.  Round-3 bandwidth levers (the kernel is
-HBM-bound): the batch-shared forcing lives in the VMEM-resident constant
-columns instead of a streamed (N, B) plane (exact — the reference's
-κ-recovery workload has ONE forcing, poisson_1d_demo.py:95-99), and the
-u_data plane is STORED bf16 with f32 compute.  Gradient parity vs the
-unfused XLA path fed the same bf16-quantized data is asserted in-run
-(1e-4); the quantization itself moves the gradient ~3e-4 relative, which
-is a statement about the data format, not the kernel (measured, CPU
-parity probe + tests/test_fused_grad.py).
+Production path: the closed-form chain-factorized Pallas kernel
+(ops/pallas/fused_grad_cf_kernel.py).  Flux telescoping collapses the
+per-element-κ tridiagonal solve to two prefix sums + a rank-1 correction
+(EXACT — no CG iterations, no refinement ladder); prefix sums run as
+hi/lo-split bf16 matmuls against a constant triangular-ones matrix
+(DEFAULT-precision MXU passes, the hidden-cost regime measured in
+probe_mxu_binding.py).  CHAIN_K SGD steps run per launch with κ
+VMEM-resident, so HBM traffic and dispatch amortize over the chain; the
+per-scenario observation plane is STORED bf16 and read once per launch.
+Gradient parity vs the unfused XLA tridiag path fed the same
+bf16-quantized data is asserted in-run (1e-4).
 
 Timing protocol (HONEST — see utils/profiling.timeit_chained and
-scripts/probe_timing_honesty.py): K data-CHAINED SGD steps inside one
-jitted lax.scan — step k+1 consumes step k's iterate, so neither the
-remote-tunnel dispatch stream, request dedup, nor async under-reporting
-can shortcut the work — with a host fetch of the final loss forcing full
-materialization.  Repeated-identical-call timing measured physically
-impossible rates through the tunnel (f32 matmul above f32 peak) and is
-banned from this file.
+scripts/probe_timing_honesty.py): SCAN_STEPS data-CHAINED launches of
+CHAIN_K data-chained SGD steps inside one jitted lax.scan — every step
+consumes the previous iterate, so neither the remote-tunnel dispatch
+stream, request dedup, nor async under-reporting can shortcut the work —
+with a host fetch of the final iterate forcing full materialization.
+Repeated-identical-call timing measured physically impossible rates
+through the tunnel (f32 matmul above f32 peak) and is banned from this
+file.  The SGD trajectory is genuinely convergent (scale = 2/n per
+scenario, lr = 30: loss drops ~50× over the benched horizon —
+scripts/probe_cf_lr.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 95 (the reference's rate on the same mesh size).
@@ -41,99 +49,98 @@ import jax.numpy as jnp
 
 BASELINE_GRAD_SOLVES_PER_S = 95.0  # reference: 1D fwd+bwd kappa-grad, 30 elem
 N_ELEMENTS = 30
-# Batch sweep 2026-08-19 (chained, MXU kernel, L=4096): 256k -> 205M,
-# 1M -> 461-481M, 2M -> 568M.  Large batch amortizes per-dispatch cost;
-# round 4 re-measured L: 8192 is ~+4% over 4096 (probe_mxu_binding.py).
+# Batch sweep 2026-08-19 (chained): large batch amortizes per-dispatch
+# cost; 2M is the measured plateau.
 BATCH = 2097152
-BLOCK_LANES = 8192
-SCAN_STEPS = 30
+# Round-5 chain ladder (probe_cf_chain.py, same-session): bl=2048 k=16
+# 1902M / k=32 2164M / k=64 1981M; bl=1024 k=32 1739M.
+BLOCK_LANES = 2048
+CHAIN_K = 32
+SCAN_STEPS = 4
 REPEATS = 3
-# Round-4 kernel version: v3 = folded-RHS + DEFAULT-precision matmuls
-# with 2 tridiagonal residual-refinement passes — measured 833.6 M/s vs
-# v1's 773.9 same-session, grad parity 6.2e-5 (the in-run 1e-4 gate
-# below verifies every run).  refine=1 reaches 1020 M/s but fails the
-# gate at 1.4e-3 (scripts/probe_mxu_refine.py ladder).
-KERNEL_VERSION = 3
-KERNEL_REFINE = 2
+LR = 30.0
 
 
 def main():
     from difffe_tpu.mesh import FEMesh
     from difffe_tpu.ops.assembly import assemble_load
-    from difffe_tpu.ops.pallas.fused_grad_mxu_kernel import \
-        fused_kappa_mse_step_mxu
+    from difffe_tpu.ops.pallas.fused_grad_cf_kernel import (
+        cf_packed_operands, kappa_mse_step_cf_packed, kappa_sgd_chain_cf)
     from difffe_tpu.solver import solve_poisson_batched
 
     dtype = jnp.float32
     mesh = FEMesh.line(n_elements=N_ELEMENTS, dtype=dtype)
+    n = mesh.n_nodes
     x = mesh.nodes[:, 0]
+    scale = 2.0 / n                                     # per-scenario mean
 
     key = jax.random.PRNGKey(0)
-    k_true = 1.0 + jax.random.uniform(key, (BATCH,), dtype) * 2.0
+    ke_true = 1.0 + 2.0 * jax.random.uniform(key, (BATCH, N_ELEMENTS),
+                                             dtype)
     fv = jnp.sin(jnp.pi * x) + 1.0                      # ONE shared forcing
-    f = jnp.broadcast_to(fv, (BATCH, mesh.n_nodes))
-    u_data = solve_poisson_batched(mesh, k_true, f, method="tridiag",
-                                   kappa_batched=True)
-    F = assemble_load(mesh, fv)                         # (n,) → shared-F mode
-    # production storage format: u_data lives in HBM as bf16
-    u_store = u_data.astype(jnp.bfloat16)
+    f = jnp.broadcast_to(fv, (BATCH, n))
+    u_data = solve_poisson_batched(mesh, ke_true, f, method="tridiag")
+    F = assemble_load(mesh, fv)                         # (n,) shared load
+
+    ke0 = jnp.ones((BATCH, N_ELEMENTS), dtype)
+    # production storage format: the observation plane lives in HBM bf16
+    keT0, aux = cf_packed_operands(mesh, ke0, F, u_data,
+                                   block_lanes=BLOCK_LANES,
+                                   operand_dtype=jnp.bfloat16)
+    udT = aux["udT"]
+    aux_small = {k: v for k, v in aux.items() if k != "udT"}
 
     # parity gate: fused kernel grad == unfused XLA grad ON THE SAME DATA
     # (both consume the bf16-quantized u_data — the gate tests the KERNEL,
     # the storage format is the workload's).  All big arrays enter as jit
     # ARGS — closure literals exceed the remote-compile payload limit at
     # B=2M (HTTP 413).
-    lk0 = jnp.zeros((BATCH,), dtype)
-    _, g_fused = jax.jit(lambda lk, F_, ud_: fused_kappa_mse_step_mxu(
-        mesh, lk, F_, ud_, block_lanes=BLOCK_LANES,
-        operand_dtype=jnp.bfloat16, version=KERNEL_VERSION,
-        refine=KERNEL_REFINE))(lk0, F, u_store.astype(dtype))
+    _, gT = jax.jit(lambda keT, udT_: kappa_mse_step_cf_packed(
+        keT, {**aux_small, "udT": udT_}, scale=scale))(keT0, udT)
+    g_fused = gT[:N_ELEMENTS, :BATCH].T
 
-    def loss_xla(lk, f_, ud_):
-        u = solve_poisson_batched(mesh, jnp.exp(lk), f_, method="tridiag",
-                                  kappa_batched=True)
-        return jnp.mean((u - ud_) ** 2)
+    def loss_xla(ke, f_, ud_):
+        u = solve_poisson_batched(mesh, ke, f_, method="tridiag")
+        return jnp.sum(jnp.mean((u - ud_) ** 2, axis=-1))
 
-    g_ref = jax.jit(jax.grad(loss_xla))(lk0, f, u_store.astype(dtype))
+    g_ref = jax.jit(jax.grad(loss_xla))(ke0, f, udT[:n, :BATCH].T
+                                        .astype(dtype))
     rel = float(jnp.max(jnp.abs(g_fused - g_ref))
                 / (jnp.max(jnp.abs(g_ref)) + 1e-30))
     assert rel < 1e-4, f"fused-kernel grad parity broke: rel={rel:.3e}"
 
-    # honest timing: SCAN_STEPS chained SGD steps in one jit + final fetch.
-    # u_data enters as a jit ARG — closure literals blow up the
-    # remote-compile payload (HTTP 413 at ~250 MB measured).  The bf16
-    # staging (pad + transpose + cast) is loop-invariant and hoisted out
-    # of the scan by XLA, so steady-state steps stream only the bf16
-    # plane + the f32 lk/loss/grad rows.
+    # honest timing: SCAN_STEPS chained launches × CHAIN_K chained inner
+    # SGD steps in one jit + final fetch.
     @jax.jit
-    def run(lk, F_, ud_):
-        def step(lk, _):
-            _, g = fused_kappa_mse_step_mxu(mesh, lk, F_, ud_,
-                                            block_lanes=BLOCK_LANES,
-                                            operand_dtype=jnp.bfloat16,
-                                            version=KERNEL_VERSION,
-                                            refine=KERNEL_REFINE)
-            return lk - 0.3 * g, ()
-        lk, _ = jax.lax.scan(step, lk, None, length=SCAN_STEPS)
-        return lk
+    def run(keT, udT_):
+        a = {**aux_small, "udT": udT_}
 
-    out = run(lk0, F, u_data)
-    float(out[0])  # warmup + materialize
+        def launch(keT, _):
+            _, keT2 = kappa_sgd_chain_cf(keT, a, CHAIN_K, LR,
+                                         scale=scale)
+            return keT2, ()
+
+        keT, _ = jax.lax.scan(launch, keT, None, length=SCAN_STEPS)
+        return keT
+
+    out = run(keT0, udT)
+    float(out[0, 0])  # warmup + materialize
 
     per_step = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = run(lk0, F, u_data)
-        float(out[0])
-        per_step.append((time.perf_counter() - t0) / SCAN_STEPS)
+        out = run(keT0, udT)
+        float(out[0, 0])
+        per_step.append((time.perf_counter() - t0)
+                        / (SCAN_STEPS * CHAIN_K))
 
     solves_per_s = BATCH / min(per_step)
     print(json.dumps({
         "metric": "batched differentiable 1D FEM solves/s/chip "
-                  "(fwd+adjoint, 30-elem mesh, MXU-factorized fused grad step, "
-                  "bf16 operand storage, DEFAULT-matmul + 2-pass tridiag refinement, "
-                  "shared-F VMEM-resident, "
-                  "chained-scan timing)",
+                  "(fwd+adjoint, 30-elem mesh, PER-ELEMENT kappa gradients, "
+                  "closed-form chain-factorized fused Pallas kernel, "
+                  "32-step VMEM-resident SGD chains, MXU split-bf16 prefix "
+                  "sums, bf16 observation storage, chained-scan timing)",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_GRAD_SOLVES_PER_S, 1),

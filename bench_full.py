@@ -91,9 +91,35 @@ def main():
                     args=(Fs, u_data))
     results[f"1d_grad_solves_per_s_n30_B{B}_fused_mxu_bf16"] = \
         round(B / dt, 1)
+
+    # ---- round-5 headline: closed-form chain kernel, PER-ELEMENT κ ------
+    # bench.py's exact configuration: per-element κ_true fields, bf16
+    # observation plane, 32 VMEM-resident SGD steps per launch, MXU
+    # split-bf16 prefix sums (ops/pallas/fused_grad_cf_kernel.py; parity
+    # gated in bench.py and tests/test_fused_cf.py).
+    from difffe_tpu.ops.pallas.fused_grad_cf_kernel import (
+        cf_packed_operands, kappa_sgd_chain_cf)
+    ke_true = 1.0 + 2.0 * jax.random.uniform(jax.random.PRNGKey(0),
+                                             (B, 30), jnp.float32)
+    ud_field = solve_poisson_batched(mesh, ke_true, f, method="tridiag")
+    keT0, aux = cf_packed_operands(mesh, jnp.ones((B, 30), jnp.float32),
+                                   Fs, ud_field, block_lanes=2048,
+                                   operand_dtype=jnp.bfloat16)
+    udT = aux["udT"]
+    aux_small = {k: v for k, v in aux.items() if k != "udT"}
+    cf_scale = 2.0 / mesh.n_nodes
+
+    def cf_chain_step(keT, udT_):
+        _, keT2 = kappa_sgd_chain_cf(keT, {**aux_small, "udT": udT_},
+                                     32, 30.0, scale=cf_scale)
+        return keT2
+
+    dt = per_step_s(cf_chain_step, keT0, length=4, args=(udT,))
+    results[f"1d_grad_solves_per_s_n30_B{B}_cf_chain32"] = \
+        round(B * 32 / dt, 1)
     # explicit alias for the drift guard (tests/test_bench_consistency.py):
     # README/PERFORMANCE headline claims are checked against THIS key
-    results["headline_grad_solves_per_s"] = round(B / dt, 1)
+    results["headline_grad_solves_per_s"] = round(B * 32 / dt, 1)
 
     B1 = 1048576
     F1 = assemble_load(mesh, f[:B1])

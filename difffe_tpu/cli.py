@@ -182,9 +182,11 @@ def invert_cmd(args):
     from .solver import solve_poisson_batched
 
     n = args.elements if args.elements is not None \
-        else (64 if args.dim == 2 else 16)
+        else {1: 30, 2: 64, 3: 16}[args.dim]
     B, steps = args.batch, args.steps
-    if args.dim == 2:
+    if args.dim == 1:
+        mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+    elif args.dim == 2:
         mesh = FEMesh.rectangle(nx=n, ny=n, dtype=jnp.float32)
     else:
         mesh = FEMesh.box(nx=n, ny=n, nz=n, dtype=jnp.float32)
@@ -215,8 +217,12 @@ def invert_cmd(args):
     fB = jnp.broadcast_to(f, (B, mesh.n_nodes))
     k_true = 1.2 + 0.6 * jax.random.uniform(
         jax.random.PRNGKey(args.seed), (B, mesh.n_elements), jnp.float32)
-    u_data = solve_poisson_batched(mesh, k_true, fB,
-                                   cg_tol=0.0, cg_maxiter=300)
+    if args.dim == 1:
+        # exact band solve — the 1D observation generator
+        u_data = solve_poisson_batched(mesh, k_true, fB, method="tridiag")
+    else:
+        u_data = solve_poisson_batched(mesh, k_true, fB,
+                                       cg_tol=0.0, cg_maxiter=300)
     jax.block_until_ready(u_data)
 
     kw = dict(steps=steps, lr=args.lr,
@@ -303,9 +309,10 @@ def main(argv=None):
         p.add_argument("--method")
     pi_ = sub.add_parser("invert", help="κ-field inversion on the routed "
                                         "fast paths (fit_kappa)")
-    pi_.add_argument("--dim", type=int, default=2, choices=[2, 3])
+    pi_.add_argument("--dim", type=int, default=2, choices=[1, 2, 3])
     pi_.add_argument("--elements", type=int, default=None,
-                     help="per side (default: 64 for 2D, 16 for 3D)")
+                     help="per side (default: 30 for 1D, 64 for 2D, "
+                          "16 for 3D)")
     pi_.add_argument("--batch", type=int, default=256)
     pi_.add_argument("--steps", type=int, default=100)
     pi_.add_argument("--lr", type=float, default=None)

@@ -111,6 +111,11 @@ def fit_kappa(
     measured iteration policy, so default users get the probe-script
     throughput without knowing the lore:
 
+    * ``FEMesh.line`` meshes (two-end Dirichlet) → the closed-form
+      chain kernel (ops/pallas/fused_grad_cf_kernel.py): exact
+      prefix-sum solves, 32 VMEM-resident SGD steps per launch — the
+      round-5 headline path (~2.0 G grad-solves/s at B=2M); no
+      iteration policy exists because the solve is exact.
     * ``FEMesh.rectangle`` meshes → the whole-CG Pallas kernels
       (``choose_2d_path``: fused one-launch ≤256², two-launch at 512²,
       XLA stencil beyond) with **warm-started steps graded by grid
@@ -164,6 +169,12 @@ def fit_kappa(
         from .solver import _mask_is_factory
         if not _mask_is_factory(mesh):
             grid = None
+
+    if mesh.dim == 1:
+        from .ops.cf1d import mesh_supports_cf
+        if mesh_supports_cf(mesh):
+            return _fit_kappa_1d(mesh, f, u_data, steps, lr, kappa0,
+                                 eval_final)
 
     if grid is None or mesh.dim not in (2, 3):
         if B >= 128 and mesh.dim in (2, 3):
@@ -375,6 +386,96 @@ def _fit_kappa_ell(mesh, f, u_data, steps, lr, kappa0, iters, eval_final):
     if eval_final:
         u = solve_poisson_cg_ell_batched(mesh, ell, kappa, FB, 0.0,
                                          max(2 * iters, 256))
+        info["eval_loss"] = float(jnp.mean((u - u_data) ** 2))
+    return kappa, info
+
+
+@_ft.lru_cache(maxsize=64)
+def _build_loop_1d(n_full, k, rem, lr, scale, block_lanes, u_l, u_r,
+                   B, n, ne):
+    """Jitted 1D chain-kernel SGD loop, cached on the static config.
+
+    The closed-form chain kernel runs ``k`` VMEM-resident SGD steps per
+    launch (ops/pallas/fused_grad_cf_kernel.py); the loop scans n_full
+    launches plus one remainder launch so exactly n_full·k + rem steps
+    execute.  Loss history is per-LAUNCH (the kernel reports the last
+    inner step's loss)."""
+    from .ops.pallas.fused_grad_cf_kernel import kappa_sgd_chain_cf
+
+    @jax.jit
+    def loop(keT, cols, lm, udT):
+        aux = dict(cols=cols, lm=lm, udT=udT, B=B, ne=ne, n=n,
+                   u_l=u_l, u_r=u_r, block_lanes=block_lanes)
+
+        def launch(keT, _):
+            lp, keT2 = kappa_sgd_chain_cf(keT, aux, k, lr, scale=scale)
+            return keT2, lp[0, :B].mean() / n
+
+        keT, hist = jax.lax.scan(launch, keT, None, length=n_full)
+        if rem:
+            lp, keT = kappa_sgd_chain_cf(keT, aux, rem, lr, scale=scale)
+            hist = jnp.concatenate([hist, lp[0, :B].mean()[None] / n])
+        return keT, hist
+
+    return loop
+
+
+def _fit_kappa_1d(mesh, f, u_data, steps, lr, kappa0, eval_final):
+    """1D per-element inversion on the closed-form chain kernel — the
+    round-5 headline path (flux telescoping = exact prefix-sum solves;
+    32 VMEM-resident SGD steps per launch; bench.py configuration,
+    measured ~2.0 G grad-solves/s at B=2M).
+
+    Shared forcing routes to the Pallas chain; per-scenario forcings
+    take the XLA closed form (ops/cf1d.kappa_mse_step_cf) in a jitted
+    scan — both exact, so there is no iteration policy to encode.
+    lr defaults to 30.0 with the B-independent per-scenario scale 2/n
+    (convergence measured in scripts/probe_cf_lr.py)."""
+    from .ops.assembly import assemble_load
+    from .ops.cf1d import kappa_mse_step_cf
+    from .ops.pallas.fused_grad_cf_kernel import (cf_packed_operands,
+                                                  cf_unpack)
+
+    B = f.shape[0]
+    ne = mesh.n_elements
+    n = mesh.n_nodes
+    lr = 30.0 if lr is None else float(lr)
+    scale = 2.0 / n
+    ke0 = jnp.ones((B, ne), mesh.dtype) if kappa0 is None \
+        else jnp.broadcast_to(jnp.asarray(kappa0, mesh.dtype), (B, ne))
+
+    f_shared = bool(jax.device_get((f == f[:1]).all())) if B > 1 else True
+    if f_shared:
+        Fs = assemble_load(mesh, f[0])
+        bl = 2048 if B >= 2048 else 512
+        keT, aux = cf_packed_operands(mesh, ke0, Fs, u_data,
+                                      block_lanes=bl)
+        k = min(32, steps)
+        loop = _build_loop_1d(steps // k, k, steps % k, lr, scale, bl,
+                              aux["u_l"], aux["u_r"], B, n, ne)
+        keT, hist = loop(keT, aux["cols"], aux["lm"], aux["udT"])
+        kappa = cf_unpack(keT, aux)
+        path = "cf_chain_pallas"
+    else:
+        FB = assemble_load(mesh, f)
+
+        @jax.jit
+        def loop(ke):
+            def body(ke, _):
+                lp, g = kappa_mse_step_cf(mesh, ke, FB, u_data,
+                                          scale=scale)
+                return ke - lr * g, lp.mean() / n
+
+            return jax.lax.scan(body, ke, None, length=steps)
+
+        kappa, hist = loop(ke0)
+        path = "cf_xla"
+
+    info = {"path": path, "iters": None, "warm": None,
+            "loss_history": hist, "eval_loss": None}
+    if eval_final:
+        from .ops.cf1d import solve_poisson_cf_batched
+        u = solve_poisson_cf_batched(mesh, kappa, f)
         info["eval_loss"] = float(jnp.mean((u - u_data) ** 2))
     return kappa, info
 

@@ -1,0 +1,86 @@
+"""TPU probe: closed-form chain kernel — streamed per-scenario u_data
+(the bench workload shape), k ladder, bf16 ud storage, and on-chip
+chain-vs-sequential equivalence.
+
+Run:  python scripts/probe_cf_chain.py    (one TPU job at a time)
+"""
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.pallas.fused_grad_cf_kernel import (
+        cf_packed_operands, cf_unpack, kappa_mse_step_cf_packed,
+        kappa_sgd_chain_cf)
+    from difffe_tpu.solver import solve_poisson_batched
+    from difffe_tpu.utils.profiling import timeit_chained
+
+    n = 30
+    mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+    x = mesh.nodes[:, 0]
+    fv = (jnp.sin(jnp.pi * x) + 1.0).astype(jnp.float32)
+    Fs = assemble_load(mesh, fv)
+
+    # equivalence on-chip: chain k=16 vs 16 sequential packed steps
+    Bs = 4096
+    ke_true = 1.0 + jax.random.uniform(jax.random.PRNGKey(0), (Bs, n),
+                                       jnp.float32)
+    fB = jnp.broadcast_to(fv, (Bs, mesh.n_nodes))
+    ud_s = solve_poisson_batched(mesh, ke_true, fB, method="tridiag")
+    keT, aux = cf_packed_operands(mesh, jnp.ones((Bs, n), jnp.float32),
+                                  Fs, ud_s, block_lanes=512)
+    _, keT_chain = kappa_sgd_chain_cf(keT, aux, 16, 30.0)
+    keT_seq = keT
+    for _ in range(16):
+        _, gT = kappa_mse_step_cf_packed(keT_seq, aux)
+        keT_seq = keT_seq - 30.0 * gT
+    dv = float(jnp.max(jnp.abs(cf_unpack(keT_chain, aux)
+                               - cf_unpack(keT_seq, aux))))
+    print(f"chain16 vs sequential16 max|dk|: {dv:.2e} "
+          f"({'PASS' if dv < 1e-5 else 'CHECK'})", flush=True)
+
+    B = 2 * 1024 * 1024
+    ud1 = solve_poisson_batched(mesh, jnp.full((1,), 2.0, jnp.float32),
+                                fv[None], kappa_batched=True)[0]
+
+    def run_chain(tag, ud_arg, via, bl, k, od=None):
+        ke_init = jnp.ones((B, n), jnp.float32)
+        keT, aux = cf_packed_operands(mesh, ke_init, Fs, ud_arg,
+                                      block_lanes=bl, operand_dtype=od)
+
+        def step(keT):
+            lp, keT2 = kappa_sgd_chain_cf(keT, aux, k, 30.0,
+                                          cumsum_via=via)
+            return keT2
+
+        try:
+            r = timeit_chained(step, keT, length=8, repeats=3)
+        except Exception as e:
+            print(f"  {tag}: FAILED {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            return
+        print(f"  {tag}: {B*k/r.min_s/1e6:8.1f} M grad-solves/s",
+              flush=True)
+
+    # per-scenario ud (bench workload): fake a (B, n) observation set
+    udB = jnp.broadcast_to(ud1, (B, mesh.n_nodes)) \
+        + 1e-3 * jax.random.normal(jax.random.PRNGKey(1),
+                                   (B, mesh.n_nodes), jnp.float32)
+
+    print(f"--- n={n} B={B}", flush=True)
+    for k in (16, 32, 64):
+        run_chain(f"shared-ud mxu bl=2048 k={k}", ud1, "mxu", 2048, k)
+    for k in (16, 32, 64):
+        run_chain(f"stream-ud f32 mxu bl=2048 k={k}", udB, "mxu", 2048, k)
+    run_chain("stream-ud bf16 mxu bl=2048 k=16", udB, "mxu", 2048, 16,
+              jnp.bfloat16)
+    run_chain("stream-ud bf16 mxu bl=2048 k=32", udB, "mxu", 2048, 32,
+              jnp.bfloat16)
+    run_chain("shared-ud vpu bl=2048 k=32", ud1, "vpu", 2048, 32)
+    run_chain("shared-ud mxu bl=1024 k=32", ud1, "mxu", 1024, 32)
+
+
+if __name__ == "__main__":
+    main()

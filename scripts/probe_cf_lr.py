@@ -1,0 +1,49 @@
+"""TPU probe: per-scenario-scale SGD convergence through the chain
+kernel at the bench workload (B=2M, per-element kappa_true, bf16 ud).
+
+scale = 2/n (per-scenario mean) makes the step size B-independent;
+this picks the lr for bench.py's convergent-recovery framing.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from difffe_tpu.mesh import FEMesh
+    from difffe_tpu.ops.assembly import assemble_load
+    from difffe_tpu.ops.pallas.fused_grad_cf_kernel import (
+        cf_packed_operands, cf_unpack, kappa_sgd_chain_cf)
+    from difffe_tpu.solver import solve_poisson_batched
+
+    n = 30
+    mesh = FEMesh.line(n_elements=n, dtype=jnp.float32)
+    x = mesh.nodes[:, 0]
+    fv = (jnp.sin(jnp.pi * x) + 1.0).astype(jnp.float32)
+    Fs = assemble_load(mesh, fv)
+    B = 65536  # convergence behavior is per-scenario; small B is enough
+    ke_true = 1.0 + 2.0 * jax.random.uniform(jax.random.PRNGKey(0),
+                                             (B, n), jnp.float32)
+    fB = jnp.broadcast_to(fv, (B, mesh.n_nodes))
+    ud = solve_poisson_batched(mesh, ke_true, fB, method="tridiag")
+    ud_b = ud.astype(jnp.bfloat16).astype(jnp.float32)
+
+    scale = 2.0 / mesh.n_nodes
+    for lr in (0.3, 1.0, 3.0, 10.0, 30.0):
+        keT, aux = cf_packed_operands(mesh, jnp.ones((B, n), jnp.float32),
+                                      Fs, ud_b, block_lanes=512)
+        lp0, keT1 = kappa_sgd_chain_cf(keT, aux, 1, 0.0, scale=scale)
+        keT_c = keT
+        for _ in range(4):
+            lp, keT_c = kappa_sgd_chain_cf(keT_c, aux, 32, lr,
+                                           scale=scale)
+        ke_fin = cf_unpack(keT_c, aux)
+        kerr = float(jnp.mean(jnp.abs(ke_fin - ke_true)))
+        l0 = float(lp0[0, :B].mean())
+        l1 = float(lp[0, :B].mean())
+        print(f"lr={lr:5.1f}: loss {l0:.3e} -> {l1:.3e}  "
+              f"mean|dk|={kerr:.3e}  finite={jnp.isfinite(ke_fin).all()}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -218,6 +218,43 @@ class TestPackedChain:
                                    np.asarray(cf_unpack(keT_seq, aux)),
                                    rtol=1e-4, atol=1e-7)
 
+    def test_fit_kappa_routes_cf_chain_and_descends(self):
+        from difffe_tpu import fit_kappa
+        mesh, fv, fB, u_data, ke0 = _setup(B=8, bc=(0.0, 0.0))
+        k, info = fit_kappa(mesh, fB, u_data, steps=40)
+        assert info["path"] == "cf_chain_pallas"
+        assert k.shape == (8, mesh.n_elements)
+        # history entries are per-launch LAST-step losses (already 32
+        # steps in) — assert continued descent, not a fixed drop factor
+        assert info["eval_loss"] < float(info["loss_history"][0])
+        # per-launch history: ceil(40/32) = 2 entries
+        assert info["loss_history"].shape == (2,)
+        assert float(info["loss_history"][1]) < \
+            float(info["loss_history"][0])
+
+    def test_fit_kappa_per_scenario_forcing_routes_xla(self):
+        from difffe_tpu import fit_kappa
+        mesh, fv, fB, u_data, ke0 = _setup(B=4, bc=(0.0, 0.0))
+        key = jax.random.PRNGKey(9)
+        fB2 = fB * (1.0 + 0.3 * jax.random.uniform(key, (4, 1)))
+        ke_true = 1.0 + jax.random.uniform(key, (4, mesh.n_elements),
+                                           mesh.dtype)
+        from difffe_tpu.solver import solve_poisson_batched as spb
+        ud2 = spb(mesh, ke_true, fB2, method="tridiag")
+        k, info = fit_kappa(mesh, fB2, ud2, steps=30)
+        assert info["path"] == "cf_xla"
+        assert info["loss_history"].shape == (30,)
+        assert info["eval_loss"] < 0.2 * float(info["loss_history"][0])
+
+    def test_fit_kappa_1d_noncf_mesh_falls_back(self):
+        from difffe_tpu import fit_kappa
+        mesh, fv, fB, u_data, ke0 = _setup(B=2)
+        m = jnp.asarray(mesh.bc_mask).at[5].set(1.0)
+        bv = jnp.asarray(mesh.bc_values).at[5].set(0.0)
+        mesh2 = dataclasses.replace(mesh, bc_mask=m, bc_values=bv)
+        k, info = fit_kappa(mesh2, fB, u_data, steps=5)
+        assert info["path"] == "generic_adam"
+
     def test_chain_descends(self):
         mesh, fv, fB, u_data, ke0 = _setup(B=192)
         Fs = assemble_load(mesh, fv)
