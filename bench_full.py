@@ -409,6 +409,20 @@ def main():
     rate, _ = _fit_rate(m3d, f3d, ud3, 100)
     results["fit_kappa_3d_16_B256_grad_solves_per_s"] = round(rate, 1)
 
+    # 1D closed-form chain through the public API (round-5 headline
+    # path; cli invert --dim 1 face) — includes packing/unpacking and
+    # the final exact eval solve, hence below the raw chain rate
+    m1d = FEMesh.line(n_elements=30, dtype=jnp.float32)
+    B1d = 2097152
+    f1v = (jnp.sin(jnp.pi * m1d.nodes[:, 0]) + 1.0).astype(jnp.float32)
+    f1B = jnp.broadcast_to(f1v, (B1d, m1d.n_nodes))
+    k1t = 1.0 + 2.0 * jax.random.uniform(jax.random.PRNGKey(10),
+                                         (B1d, 30), jnp.float32)
+    ud1f = solve_poisson_batched(m1d, k1t, f1B, method="tridiag")
+    rate, _ = _fit_rate(m1d, f1B, ud1f, 96)
+    results["fit_kappa_1d_30_B2097152_grad_solves_per_s"] = \
+        round(rate, 1)
+
     # unstructured: interior nodes perturbed, grid dropped → fit_kappa
     # routes to generic_ell_batchminor at B ≥ 128
     import numpy as _np

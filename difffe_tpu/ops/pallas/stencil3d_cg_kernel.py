@@ -86,25 +86,34 @@ def _cg3_kernel_tb(d0, d1, d2, d3, d4, d5, d6, b_ref, minv_ref, x0_ref,
 
     Mosaic constraint (probed in 2D, reused): per-scenario reductions go
     reshape(TB, -1) → sum(axis=1, keepdims) → (TB, 1), broadcast back as
-    [:, :, None]."""
-    D = [d0[:], d1[:], d2[:], d3[:], d4[:], d5[:], d6[:]]
+    [:, :, None].
+
+    Coefficient refs (d0..d6, Minv) may be stored bf16 (halves their
+    VMEM windows — the fit lever that admits 64³ — and their HBM
+    traffic); they are upcast to the compute dtype at each use, so CG
+    arithmetic stays f32 on a bf16-perturbed operator (≲1e-3 relative
+    solution class, measured in tests/test_pallas_stencil3d.py)."""
     b = b_ref[:]
-    Minv = minv_ref[:]
     x = x0_ref[:]
+    cdt = b.dtype
+    refs = [d0, d1, d2, d3, d4, d5, d6]
     TB = b.shape[0]
     shifts = _folded_shifts(W)
 
     def A(v):
-        out = D[0] * v
+        out = refs[0][:].astype(cdt) * v
         for k, (ds, dl) in enumerate(shifts, start=1):
-            out = out + D[k] * _shift_fold(v, ds, dl)
+            out = out + refs[k][:].astype(cdt) * _shift_fold(v, ds, dl)
         return out
+
+    def Mz(r):
+        return minv_ref[:].astype(cdt) * r
 
     def dot(u, v):
         return jnp.sum((u * v).reshape(TB, -1), axis=1, keepdims=True)
 
     r = b - A(x)
-    z = Minv * r
+    z = Mz(r)
     p = z
     rz = dot(r, z)
     # per-scenario (TB, 1) noise-floor stagnation freeze, same (4ε)²
@@ -123,7 +132,7 @@ def _cg3_kernel_tb(d0, d1, d2, d3, d4, d5, d6, b_ref, minv_ref, x0_ref,
                           0.0)[:, :, None]
         x = x + alpha * p
         r = r - alpha * Ap
-        z = Minv * r
+        z = Mz(r)
         rz_new = dot(r, z)
         beta = jnp.where(live & (rz_new > floor) & (rz != 0),
                          rz_new / jnp.where(rz != 0, rz, 1.0),
@@ -220,9 +229,17 @@ def _unfold(x_p, B, grid):
     return x_p[:B, :, :H * W].reshape(B, Dz, H, W)
 
 
-def _solve_impl3(grid, kappa, f, g, iters, block_b=1):
+def _solve_impl3(grid, kappa, f, g, iters, block_b=1,
+                 operand_dtype=None):
     C, D_p, b_p, minv_p, x0_p, B, HW = _prepare3(grid, kappa, f, g,
                                                  block_b=block_b)
+    if operand_dtype is not None:
+        # bf16 coefficient storage: halves the 8 coefficient windows'
+        # VMEM (the fit lever that admits 64³) and their HBM bytes; CG
+        # arithmetic stays f32 via in-kernel upcasts (≲1e-3 relative
+        # operator-perturbation class)
+        D_p = D_p.astype(operand_dtype)
+        minv_p = minv_p.astype(operand_dtype)
     W = grid.node_shape[2]
     x_p = _cg3_pallas(D_p, b_p, minv_p, x0_p, iters, block_b, W)
     x = _unfold(x_p, B, grid)
@@ -230,27 +247,33 @@ def _solve_impl3(grid, kappa, f, g, iters, block_b=1):
     return x, (C, D_p, minv_p, B, HW)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
 def solve_structured_pallas_3d(grid: StructuredGrid3, kappa, f: jax.Array,
                                g: jax.Array, iters: int = 64,
-                               block_b: int = 1) -> jax.Array:
+                               block_b: int = 1,
+                               operand_dtype=None) -> jax.Array:
     """Batched box Poisson solve with the whole-CG 3D Pallas kernel.
 
     kappa: per-tet field, flat (…, 6·nx·ny·nz) in FEMesh.box order or
     (…, nz, ny, nx, 6); f: node box or (B,) + node box; g: node box
     Dirichlet values.  Runs exactly ``iters`` Jacobi-PCG iterations
-    (fixed trip count).  Exact-match + gradient-parity vs the XLA path:
+    (fixed trip count).  ``operand_dtype=jnp.bfloat16`` stores the 7
+    folded stencil planes + Jacobi diagonal bf16 (the 64³ VMEM-fit
+    lever; solutions move to the ~1e-3 operator-perturbation class —
+    adjoint uses the SAME stored operator, so gradients are consistent).
+    Exact-match + gradient-parity vs the XLA path:
     tests/test_pallas_stencil3d.py."""
-    u, _ = _solve_impl3(grid, kappa, f, g, iters, block_b)
+    u, _ = _solve_impl3(grid, kappa, f, g, iters, block_b, operand_dtype)
     return u
 
 
-def _fwd3(grid, kappa, f, g, iters, block_b):
-    u, saved = _solve_impl3(grid, kappa, f, g, iters, block_b)
+def _fwd3(grid, kappa, f, g, iters, block_b, operand_dtype):
+    u, saved = _solve_impl3(grid, kappa, f, g, iters, block_b,
+                            operand_dtype)
     return u, (kappa, f, g, u, saved)
 
 
-def _bwd3(grid, iters, block_b, res, gbar):
+def _bwd3(grid, iters, block_b, operand_dtype, res, gbar):
     kappa, f, g, u, (C, D_p, minv_p, B, HW) = res
     gb = gbar if gbar.ndim == 4 else gbar[None]
     Dz = grid.node_shape[0]
@@ -280,24 +303,28 @@ def _cg3_2_kernel_tb(d0, d1, d2, d3, d4, d5, d6, b_ref, minv_ref, x0_ref,
                      W: int, scale: float):
     """Forward CG, MSE cotangent, adjoint CG — one VMEM residency
     (3D analogue of stencil_cg_kernel.py:_cg2_kernel_tb, incl. the
-    warm-start contract: x0/λ0 seed the two solves)."""
-    D = [d0[:], d1[:], d2[:], d3[:], d4[:], d5[:], d6[:]]
-    Minv = minv_ref[:]
-    TB = Minv.shape[0]
+    warm-start contract: x0/λ0 seed the two solves).  Coefficient refs
+    may be bf16 (upcast at use — see _cg3_kernel_tb)."""
+    refs = [d0, d1, d2, d3, d4, d5, d6]
+    cdt = b_ref.dtype
+    TB = b_ref.shape[0]
     shifts = _folded_shifts(W)
 
     def A(v):
-        out = D[0] * v
+        out = refs[0][:].astype(cdt) * v
         for k, (ds, dl) in enumerate(shifts, start=1):
-            out = out + D[k] * _shift_fold(v, ds, dl)
+            out = out + refs[k][:].astype(cdt) * _shift_fold(v, ds, dl)
         return out
+
+    def Mz(r):
+        return minv_ref[:].astype(cdt) * r
 
     def dot(u, v):
         return jnp.sum((u * v).reshape(TB, -1), axis=1, keepdims=True)
 
     def cg(b, x):
         r = b - A(x)
-        z = Minv * r
+        z = Mz(r)
         p = z
         rz = dot(r, z)
         # per-scenario stagnation freeze — see _cg3_kernel_tb / ops/pcg.py
@@ -314,7 +341,7 @@ def _cg3_2_kernel_tb(d0, d1, d2, d3, d4, d5, d6, b_ref, minv_ref, x0_ref,
                               0.0)[:, :, None]
             x = x + alpha * p
             r = r - alpha * Ap
-            z = Minv * r
+            z = Mz(r)
             rz_new = dot(r, z)
             beta = jnp.where(live & (rz_new > floor) & (rz != 0),
                              rz_new / jnp.where(rz != 0, rz, 1.0),
@@ -391,7 +418,8 @@ def fused_kappa_mse_step_3d_pallas(grid: StructuredGrid3, kappa,
                                    scale: Optional[float] = None,
                                    iters: int = 16, block_b: int = 1,
                                    warm_state=None,
-                                   return_state: bool = False):
+                                   return_state: bool = False,
+                                   operand_dtype=None):
     """Whole 3D per-tet-κ MSE gradient step in one kernel launch.
 
     Contract mirrors ``fused_kappa_mse_step_2d``: returns
@@ -436,14 +464,16 @@ def fused_kappa_mse_step_3d_pallas(grid: StructuredGrid3, kappa,
                 k_, f_, ud_ = args
                 return fused_kappa_mse_step_3d_pallas(
                     grid, k_, f_, g, ud_, scale=scale, iters=iters,
-                    block_b=block_b, return_state=True)
+                    block_b=block_b, return_state=True,
+                    operand_dtype=operand_dtype)
             lp, gk, u, st = jax.lax.map(one, (ks, fs, uds))
         else:
             def one(args):
                 k_, f_, ud_, ws_ = args
                 return fused_kappa_mse_step_3d_pallas(
                     grid, k_, f_, g, ud_, scale=scale, iters=iters,
-                    block_b=block_b, warm_state=ws_, return_state=True)
+                    block_b=block_b, warm_state=ws_, return_state=True,
+                    operand_dtype=operand_dtype)
             lp, gk, u, st = jax.lax.map(one, (ks, fs, uds, warm_state))
         lp = lp.reshape(B)
         gk = gk.reshape((B,) + gk.shape[2:])
@@ -457,6 +487,9 @@ def fused_kappa_mse_step_3d_pallas(grid: StructuredGrid3, kappa,
     batched = (jnp.ndim(kappa) >= 2 and f.ndim == 4) or f.ndim == 4
     C, D_p, b_p, minv_p, x0_p, B, HW = _prepare3(grid, kappa, f, g,
                                                  block_b=block_b)
+    if operand_dtype is not None:
+        D_p = D_p.astype(operand_dtype)
+        minv_p = minv_p.astype(operand_dtype)
     Dz, H, W = grid.node_shape
     Bp, _, HWp = minv_p.shape
     dtype = b_p.dtype

@@ -1,0 +1,117 @@
+"""TPU probe: bf16 coefficient storage for the 3D whole-CG kernel.
+
+The round-5 MG3 decision record pinned the past-32³ binder on HBM/VMEM
+residency, not iteration count.  bf16 storage of the 7 folded stencil
+planes + Jacobi diagonal halves exactly that: (a) VMEM windows — does
+64³ now FIT the kernel (f32 needs ~18 MB, bf16 ~13 MB)? (b) larger
+block_b at 48³ — can one launch cover B=32 (block_b=4, grid 8, vs the
+r4 ≤8-scenario chunking)?  Accuracy class measured on-chip alongside.
+
+Run:  python scripts/probe_3d_bf16.py    (one TPU job at a time)
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def setup(n, B):
+    from difffe_tpu.ops.stencil3d import StructuredGrid3
+    grid = StructuredGrid3.unit(n, n, n)
+    zs = jnp.linspace(0, 1, n + 1, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(zs, zs, zs, indexing="ij")
+    pi = jnp.pi
+    f = (3 * pi ** 2 * jnp.sin(pi * xx) * jnp.sin(pi * yy)
+         * jnp.sin(pi * zz)).astype(jnp.float32)
+    fB = jnp.broadcast_to(f, (B,) + grid.node_shape)
+    g0 = jnp.zeros(grid.node_shape, jnp.float32)
+    k_true = 1.2 + 0.6 * jax.random.uniform(
+        jax.random.PRNGKey(5), (B, grid.n_elements), jnp.float32)
+    return grid, fB, g0, k_true
+
+
+def main():
+    from difffe_tpu.ops.stencil3d import solve_poisson_structured_3d_batched
+    from difffe_tpu.ops.pallas.stencil3d_cg_kernel import (
+        fused_kappa_mse_step_3d_pallas, solve_structured_pallas_3d)
+
+    # ---- accuracy class on-chip (32³) --------------------------------
+    grid, fB, g0, k_true = setup(32, 8)
+    u32 = solve_structured_pallas_3d(grid, k_true, fB, g0, 64, 1)
+    ubf = solve_structured_pallas_3d(grid, k_true, fB, g0, 64, 1,
+                                     jnp.bfloat16)
+    rel = float(jnp.max(jnp.abs(ubf - u32)) / jnp.max(jnp.abs(u32)))
+    print(f"32^3 bf16-coeff solve class: {rel:.2e}", flush=True)
+
+    cfgs = [(32, 128, [(1, None), (1, jnp.bfloat16), (2, jnp.bfloat16)]),
+            (48, 32, [(1, None), (1, jnp.bfloat16), (2, jnp.bfloat16),
+                      (4, jnp.bfloat16)]),
+            (64, 8, [(1, None), (1, jnp.bfloat16)])]
+    if len(sys.argv) > 1:
+        cfgs = [c for c in cfgs if str(c[0]) in sys.argv[1:]]
+
+    for n, B, variants in cfgs:
+        grid, fB, g0, k_true = setup(n, B)
+        print(f"--- box({n}^3) B={B}", flush=True)
+        try:
+            u_data = jax.jit(lambda kt: solve_poisson_structured_3d_batched(
+                grid, kt, fB, g0, 0.0, 200))(k_true)
+            jax.block_until_ready(u_data)
+        except Exception as e:
+            print(f"  u_data FAILED: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            continue
+        lr = 100.0
+        scale = 2.0 / (B * (n + 1) ** 3)
+
+        def run_kernel(iters, bb, od, steps=20):
+            tag = f"iters={iters} bb={bb} " \
+                  f"od={'bf16' if od is not None else 'f32'}"
+            try:
+                lp0, gk0, _, st0 = fused_kappa_mse_step_3d_pallas(
+                    grid, k_true * 0 + 1.0, fB, g0, u_data, iters=iters,
+                    block_b=bb, scale=scale, return_state=True,
+                    operand_dtype=od)
+                jax.block_until_ready(lp0)
+            except Exception as e:
+                print(f"  Pallas {tag}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                return None
+
+            def body(carry, _):
+                k, state = carry
+                lp, gk, _, state = fused_kappa_mse_step_3d_pallas(
+                    grid, k, fB, g0, u_data, iters=iters, block_b=bb,
+                    scale=scale, return_state=True, operand_dtype=od)
+                return (k - lr * gk, state), lp.sum()
+
+            @jax.jit
+            def loop(k, st):
+                (k, st), losses = jax.lax.scan(body, (k, st), None,
+                                               length=steps)
+                return k, losses
+
+            k0 = jnp.ones((B, grid.n_elements), jnp.float32)
+            t0 = time.perf_counter()
+            k, losses = loop(k0, st0)
+            jax.block_until_ready(losses)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            k, losses = loop(k0, st0)
+            jax.block_until_ready(losses)
+            dt = (time.perf_counter() - t0) / steps
+            print(f"  Pallas {tag}: {B/dt:10,.0f} grad-solves/s "
+                  f"({dt*1e3:.1f} ms/step, compile {compile_s:.0f}s, "
+                  f"finite={bool(np.isfinite(float(losses[-1])))})",
+                  flush=True)
+            return B / dt
+
+        for bb, od in variants:
+            run_kernel(32, bb, od)
+
+
+if __name__ == "__main__":
+    main()

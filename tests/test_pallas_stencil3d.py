@@ -122,3 +122,55 @@ class TestFusedStep:
             grid, kB, fB, g0, ud, iters=120)
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk3),
                                    atol=1e-6)
+
+
+class TestBf16Coefficients:
+    """bf16 coefficient storage (the 64³ VMEM-fit lever): CG arithmetic
+    stays f32 on a bf16-rounded operator — solutions and gradients stay
+    in the ~1e-2 operator-perturbation class, and the adjoint uses the
+    SAME stored operator so gradients are self-consistent."""
+
+    def test_solve_class(self):
+        grid, fB, g0, kB = _setup()
+        u32 = solve_structured_pallas_3d(grid, kB, fB, g0, 64, 1)
+        ubf = solve_structured_pallas_3d(grid, kB, fB, g0, 64, 1,
+                                         jnp.bfloat16)
+        rel = float(jnp.max(jnp.abs(ubf - u32))
+                    / jnp.max(jnp.abs(u32)))
+        assert rel < 2e-2, rel
+        assert ubf.dtype == u32.dtype == jnp.float32
+
+    def test_grad_class_and_consistency(self):
+        grid, fB, g0, kB = _setup()
+        ud = solve_structured_pallas_3d(grid, kB, fB, g0, 64, 1) + 0.01
+
+        def loss(k, od):
+            u = solve_structured_pallas_3d(grid, k, fB, g0, 64, 1, od)
+            return jnp.mean((u - ud) ** 2)
+
+        g32 = jax.grad(lambda k: loss(k, None))(kB)
+        gbf = jax.grad(lambda k: loss(k, jnp.bfloat16))(kB)
+        # per-entry outliers reach ~8% max-norm on tiny grids; the
+        # SGD-grade statement is direction quality + a class bound
+        rel = float(jnp.max(jnp.abs(gbf - g32))
+                    / jnp.max(jnp.abs(g32)))
+        assert rel < 0.15, rel
+        cos = float(jnp.vdot(gbf, g32)
+                    / (jnp.linalg.norm(gbf) * jnp.linalg.norm(g32)))
+        assert cos > 0.995, cos
+
+    def test_fused_step_matches_two_step(self):
+        grid, fB, g0, kB = _setup()
+        ud = solve_structured_pallas_3d(grid, kB, fB, g0, 64, 1) + 0.01
+        lp32, gk32, _ = fused_kappa_mse_step_3d_pallas(
+            grid, kB, fB, g0, ud, iters=32)
+        lpbf, gkbf, _ = fused_kappa_mse_step_3d_pallas(
+            grid, kB, fB, g0, ud, iters=32, operand_dtype=jnp.bfloat16)
+        rel = float(jnp.max(jnp.abs(gkbf - gk32))
+                    / jnp.max(jnp.abs(gk32)))
+        assert rel < 0.15, rel
+        cos = float(jnp.vdot(gkbf, gk32)
+                    / (jnp.linalg.norm(gkbf) * jnp.linalg.norm(gk32)))
+        assert cos > 0.995, cos
+        np.testing.assert_allclose(np.asarray(lpbf), np.asarray(lp32),
+                                   rtol=5e-2)
