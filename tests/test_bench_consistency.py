@@ -31,8 +31,8 @@ DOCS = ["README.md", "docs/PERFORMANCE.md"]
 #: NUMBER (incl. scientific notation), optional k/M unit, optional bold
 #: close, then (`bench_key`)
 CLAIM_RE = re.compile(
-    r"([\d.]+(?:e[+-]?\d+)?)\s*([kM]?)\*{0,2}\s*\(`([a-zA-Z0-9_.\-]+)`\)")
-_SCALE = {"": 1.0, "k": 1e3, "M": 1e6}
+    r"([\d.]+(?:e[+-]?\d+)?)\s*([kMG]?)\*{0,2}\s*\(`([a-zA-Z0-9_.\-]+)`\)")
+_SCALE = {"": 1.0, "k": 1e3, "M": 1e6, "G": 1e9}
 #: minimum distinct guarded keys across the two docs (VERDICT-r4 item 3)
 MIN_GUARDED_KEYS = 6
 
