@@ -481,7 +481,7 @@ def _fit_kappa_1d(mesh, f, u_data, steps, lr, kappa0, eval_final):
 
 
 @_ft.lru_cache(maxsize=64)
-def _build_loop_3d(grid, iters, warm, lr, steps, path):
+def _build_loop_3d(grid, iters, warm, lr, steps, path, block_b=1):
     from .ops.stencil3d import kappa_mse_grad_step_3d
 
     if path == "pallas":
@@ -493,7 +493,7 @@ def _build_loop_3d(grid, iters, warm, lr, steps, path):
         def step(k, fg, g0, ug, state):
             B = fg.shape[0]
             lp, gk, _, state = fused_kappa_mse_step_3d_pallas(
-                grid, k, fg, g0, ug, iters=iters, block_b=1,
+                grid, k, fg, g0, ug, iters=iters, block_b=block_b,
                 scale=2.0 / (B * n_nodes),
                 warm_state=state if warm else None, return_state=True)
             return lp.mean() / n_nodes, gk, state
@@ -565,9 +565,11 @@ def _fit_kappa_3d(mesh, grid, f, u_data, steps, lr, kappa0, iters, warm,
         else jnp.broadcast_to(jnp.asarray(kappa0, mesh.dtype),
                               (B, mesh.n_elements))
 
-    from .ops.stencil3d import choose_3d_grad_step
-    path = choose_3d_grad_step(grid, B)
-    loop = _build_loop_3d(grid, iters, warm, float(lr), steps, path)
+    from .ops.stencil3d import choose_3d_block_b, choose_3d_grad_step
+    path = choose_3d_grad_step(grid, B, iters=iters)
+    bb = choose_3d_block_b(grid, B, iters=iters) if path == "pallas" \
+        else 1
+    loop = _build_loop_3d(grid, iters, warm, float(lr), steps, path, bb)
     kappa, losses = loop(k0, fg, g0, ug)
     name = "stencil3d_pallas" if path == "pallas" \
         else "stencil3d_batchminor"

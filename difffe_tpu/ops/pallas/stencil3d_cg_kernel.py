@@ -393,17 +393,45 @@ _VMEM_BUDGET = 20 * 1024 * 1024
 _MAX_GRID_LARGE = 8
 
 
+#: chunked (lax.map) launches tolerate less VMEM headroom than a
+#: standalone kernel: 48³ bb=2 (est. 16.2 MB) chunks fine, 64³ bb=1
+#: f32 (est. 19.7 MB) compiles standalone but FAILS inside the chunk
+#: map (probe_3d_bf16.py follow-up, 2026-08-21)
+_VMEM_BUDGET_CHUNKED = 18 * 1024 * 1024
+#: deep-iteration launches (iters > 32 — the κ-error-safe fit_kappa
+#: settings) allocate MORE scoped VMEM per trip: measured cliff at the
+#: 16 MB scoped limit — 48³ f32 bb=2 and 64³ f32 bb=1 both compile at
+#: iters-32 but fail at iters-100 (17.28 M / 17.68 M scoped); their
+#: bf16-coefficient forms (est. 12.4 M / 14.7 M) compile at iters-100
+#: (all verified on chip 2026-08-21)
+_VMEM_BUDGET_DEEP = 16 * 1024 * 1024
+
+
 def vmem_bytes_fused3(node_shape, block_b: int = 1,
-                      itemsize: int = 4) -> int:
-    """Estimated VMEM residency of the fused 3D kernel: 12 input + 2
-    output (block_b, Dz, HWp) planes plus ~5 live temporaries."""
+                      itemsize: int = 4,
+                      coeff_itemsize: int | None = None) -> int:
+    """Estimated VMEM residency of the fused 3D kernel.
+
+    17 effective planes: 8 coefficient windows (7 folded stencil planes
+    + Jacobi diagonal — ``coeff_itemsize`` 2 under bf16 storage) + 9
+    f32 state/IO planes.  Recalibrated round 5: the old 19-plane
+    estimate blocked 64³, which in fact compiles and runs (345
+    grad-solves/s f32 at B=8 — scripts/probe_3d_bf16.py); live
+    temporaries overlap more than the naive count."""
     Dz, H, W = node_shape
     HWp = _round_up(H * W, 128)
-    return 19 * block_b * Dz * HWp * itemsize
+    ci = itemsize if coeff_itemsize is None else coeff_itemsize
+    return (9 * itemsize + 8 * ci) * block_b * Dz * HWp
 
 
-def fused_fits(node_shape, block_b: int = 1, itemsize: int = 4) -> bool:
-    return vmem_bytes_fused3(node_shape, block_b, itemsize) <= _VMEM_BUDGET
+def fused_fits(node_shape, block_b: int = 1, itemsize: int = 4,
+               coeff_itemsize: int | None = None,
+               chunked: bool = False, deep: bool = False) -> bool:
+    budget = _VMEM_BUDGET_CHUNKED if chunked else _VMEM_BUDGET
+    if deep:
+        budget = min(budget, _VMEM_BUDGET_DEEP)
+    return vmem_bytes_fused3(node_shape, block_b, itemsize,
+                             coeff_itemsize) <= budget
 
 
 #: lane width at which the remote compile helper starts refusing grid

@@ -665,18 +665,67 @@ def kappa_mse_grad_step_3d(grid: StructuredGrid3, kappa, f, g, u_data,
     return loss, gk
 
 
-def choose_3d_grad_step(grid: StructuredGrid3, batch: int) -> str:
+def choose_3d_block_b(grid: StructuredGrid3, batch: int,
+                      operand_dtype=None, iters=None) -> int:
+    """Scenarios per kernel block for the fused 3D grad step.
+
+    Round-5 measurement (scripts/probe_3d_bf16.py, iters-32): at
+    large-plane sizes block_b=2 halves the grid-program count and is
+    worth +45% (48³ B=32: 637-644 vs 440 grad-solves/s) — but f32
+    bb=2 sits ON the 16 MB scoped-VMEM cliff: iters-32 compiles,
+    iters-100 (the κ-error-safe fit_kappa setting) fails with a 17.28 M
+    scoped allocation.  So bb=2 ships only with bf16 coefficient
+    storage (12.4 M est., iters-100 verified on chip); f32 production
+    stays bb=1.  block_b=4 fails the compile helper outright.  Below
+    the large-plane boundary the grid count isn't the binder."""
+    from .pallas.stencil3d_cg_kernel import (_LARGE_PLANE_LANES,
+                                             _MAX_GRID_LARGE, _round_up,
+                                             fused_fits)
+    HWp = _round_up((grid.ny + 1) * (grid.nx + 1), 128)
+    if HWp < _LARGE_PLANE_LANES or operand_dtype is None:
+        return 1
+    ci = 2
+    deep = iters is not None and iters > 32
+    for bb in (2, 1):
+        if batch % bb:
+            continue
+        chunked = batch // bb > _MAX_GRID_LARGE
+        if not fused_fits(grid.node_shape, bb, coeff_itemsize=ci,
+                          chunked=chunked, deep=deep):
+            continue
+        if chunked and batch % (_MAX_GRID_LARGE * bb):
+            continue
+        return bb
+    return 1
+
+
+def choose_3d_grad_step(grid: StructuredGrid3, batch: int,
+                        operand_dtype=None, iters=None) -> str:
     """Pick the per-tet κ-inversion GRAD-STEP implementation from the
-    measured TPU boundaries (round 4, scripts/probe_3d_kernel.py,
-    16-iter fixed-trip steps):
+    measured TPU boundaries (rounds 4-5, scripts/probe_3d_kernel.py +
+    probe_3d_bf16.py):
 
     * 16³ B=256: XLA batch-minor 73.9k vs Pallas kernel 62.6k — small
       grids keep the lane-packed batch advantage → ``'xla_bm'``;
-    * 32³ B=128: Pallas whole-CG kernel 10.9k vs XLA 3.7k (2.92×) →
-      ``'pallas'`` once per-scenario state dominates (boundary
-      interpolated at ~10⁴ nodes — measured only at 16³/32³);
-    * past the kernel's VMEM estimate or the remote-compile grid cap
-      (B/block ≤ 8 at large plane sizes, measured at 48³) → ``'xla_bm'``.
+    * 32³ B=128: Pallas whole-CG kernel wins (r4 2.9× at iters-16;
+      r5 iters-32: 7.3-8.7k vs XLA ~2.1k) → ``'pallas'`` once
+      per-scenario state dominates (boundary at ~10⁴ nodes);
+    * 48³: kernel chunks at 8·block_b scenarios per launch
+      (remote-compile grid cap), block_b=2 production (+45%);
+    * 64³ now routes to the kernel too — the old 19-plane VMEM
+      estimate was wrong, the kernel compiles and runs at 345
+      grad-solves/s f32 (B≤8 per launch) vs XLA batch-minor's 174 —
+      except where chunked launches exceed the measured chunked-VMEM
+      cap (64³ f32 with B>8 fails the compile helper; bf16
+      coefficient storage fits and is the B>8 route there);
+    * pass ``iters``: deep launches (iters > 32, the κ-error-safe
+      fit_kappa settings) allocate MORE scoped VMEM — 64³ f32 and
+      48³-f32-bb2 compile at iters-32 but fail at iters-100 (16 MB
+      scoped cliff), so deep f32 at 64³ falls back to ``'xla_bm'``
+      while their bf16-coefficient forms keep the kernel (all cells
+      verified on chip, probe_3d_bf16.py + follow-up);
+    * non-divisible batches at chunked sizes → ``'xla_bm'`` (the
+      kernel raises rather than mis-chunking).
 
     Returns 'xla_bm' (kappa_mse_grad_step_3d) or 'pallas'
     (ops.pallas.stencil3d_cg_kernel.fused_kappa_mse_step_3d_pallas).
@@ -687,14 +736,19 @@ def choose_3d_grad_step(grid: StructuredGrid3, batch: int) -> str:
     n_nodes = (grid.nx + 1) * (grid.ny + 1) * (grid.nz + 1)
     if n_nodes <= 10_000:
         return "xla_bm"
-    if not fused_fits(grid.node_shape):
+    ci = 2 if operand_dtype is not None else 4
+    deep = iters is not None and iters > 32
+    bb = choose_3d_block_b(grid, batch, operand_dtype, iters)
+    chunked = batch // bb > _MAX_GRID_LARGE
+    if not fused_fits(grid.node_shape, bb, coeff_itemsize=ci,
+                      chunked=chunked, deep=deep):
         return "xla_bm"
     HWp = _round_up((grid.ny + 1) * (grid.nx + 1), 128)
-    if (HWp >= _LARGE_PLANE_LANES and batch > _MAX_GRID_LARGE
-            and batch % _MAX_GRID_LARGE):
-        # large planes chunk the batch at 8 per launch; a non-divisible
-        # batch can't take the kernel (fused_kappa_mse_step_3d_pallas
-        # raises) — fall back rather than error from the default path
+    if (HWp >= _LARGE_PLANE_LANES and batch // bb > _MAX_GRID_LARGE
+            and batch % (_MAX_GRID_LARGE * bb)):
+        # large planes chunk the batch at 8·bb per launch; a
+        # non-divisible batch can't take the kernel — fall back rather
+        # than error from the default path
         return "xla_bm"
     return "pallas"
 

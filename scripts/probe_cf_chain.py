@@ -81,6 +81,40 @@ def main():
     run_chain("shared-ud vpu bl=2048 k=32", ud1, "vpu", 2048, 32)
     run_chain("shared-ud mxu bl=1024 k=32", ud1, "mxu", 1024, 32)
 
+    # ---- n=128 scale leg (vs MXU-scalar 111M / PCR 45M at B=262k) ----
+    n2 = 128
+    mesh2 = FEMesh.line(n_elements=n2, dtype=jnp.float32)
+    x2 = mesh2.nodes[:, 0]
+    fv2 = (jnp.sin(jnp.pi * x2) + 1.0).astype(jnp.float32)
+    Fs2 = assemble_load(mesh2, fv2)
+    B2 = 262144
+    ud2 = solve_poisson_batched(mesh2, jnp.full((1,), 2.0, jnp.float32),
+                                fv2[None], kappa_batched=True)[0]
+
+    def run_chain_n128(via, bl, k):
+        keT, aux = cf_packed_operands(mesh2,
+                                      jnp.ones((B2, n2), jnp.float32),
+                                      Fs2, ud2, block_lanes=bl)
+
+        def step(keT):
+            lp, keT2 = kappa_sgd_chain_cf(keT, aux, k, 30.0,
+                                          cumsum_via=via)
+            return keT2
+
+        try:
+            r = timeit_chained(step, keT, length=8, repeats=3)
+        except Exception as e:
+            print(f"  n128 {via} bl={bl} k={k}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+            return
+        print(f"  n128 {via} bl={bl} k={k}: "
+              f"{B2*k/r.min_s/1e6:8.1f} M grad-solves/s", flush=True)
+
+    print(f"--- n={n2} B={B2}", flush=True)
+    run_chain_n128("mxu", 1024, 32)
+    run_chain_n128("vpu", 1024, 32)
+    run_chain_n128("mxu", 2048, 32)
+
 
 if __name__ == "__main__":
     main()
