@@ -18,10 +18,15 @@ coefficient planes are zero (`_fold_bc_planes_3d`), so no iota masks are
 needed.  Per CG iteration: 7 FMAs + 2 dots + 3 axpys, all VMEM-resident —
 zero HBM traffic between iterations.
 
-VMEM sizing (f32, TB=1): 13 live planes ≈ 2.4 MB at 32³, 7.1 MB at 48³
-(fits); 64³ ≈ 16 MB (past budget → XLA batch-minor path keeps that size).
-``choose_3d_path`` (ops/stencil3d.py) dispatches on the measured
-boundary.
+VMEM sizing (17 effective planes, recalibrated round 5): 32³ ≈ 2.4 MB,
+48³ ≈ 8.1 MB, 64³ ≈ 19.2 MB f32 — 64³ COMPILES AND RUNS standalone
+(345 grad-solves/s at B=8, iters-32; the old 19-plane estimate never
+actually tried).  Scoped-VMEM allocation grows with the CG trip count:
+deep launches (iters > 32) hit a measured 16 MB cliff at 64³-f32 and
+48³-f32-bb2, which their bf16-coefficient forms clear
+(``operand_dtype=jnp.bfloat16`` halves the 8 coefficient windows).
+``choose_3d_grad_step``/``choose_3d_block_b`` (ops/stencil3d.py) encode
+the full measured compile matrix.
 
 Gradients: ``solve_structured_pallas_3d`` carries the same IFT custom
 VJP as the 2D kernel, adjoint solve through this kernel too;
