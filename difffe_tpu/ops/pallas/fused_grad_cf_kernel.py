@@ -565,6 +565,8 @@ def kappa_sgd_chain_cf(keT: jax.Array, aux: dict, n_inner: int,
     rounding) to n_inner calls of ``kappa_mse_step_cf_packed`` with the
     same lr — regression-tested in tests/test_fused_cf.py.
     """
+    if int(n_inner) < 1:
+        raise ValueError("kappa_sgd_chain_cf needs n_inner >= 1")
     if scale is None:
         scale = 2.0 / (aux["B"] * aux["n"])
     if aux.get("udT") is not None:
